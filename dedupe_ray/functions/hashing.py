@@ -1,0 +1,92 @@
+"""Deterministic 64-bit hashing of tokens, shingles and urls.
+
+The reference assigns record identity via a mutex-guarded global counter
+(``FileMapper``, /root/reference/vptree/vptree.go:16-36). That cannot exist on
+a cluster; instead identity is a coordination-free deterministic hash of the
+record key (url). All hashes here are stable across processes and runs —
+Python's builtin ``hash()`` is salted per process and is never used.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+__all__ = ["hash_token", "hash_tokens", "shingle_hashes", "hash_urls", "hash_url"]
+
+# Odd multipliers (splitmix64 constants) for positional mixing of the k token
+# hashes inside one shingle — vectorizable, no string concat per shingle.
+_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+     0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5, 0xC2B2AE3D27D4EB4F,
+     0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def hash_token(token: str) -> int:
+    """Stable 64-bit hash of one token (blake2b/8)."""
+    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def hash_tokens(tokens: list[str], cache: dict[str, int] | None = None) -> np.ndarray:
+    """Stable uint64 hash per token. ``cache`` memoizes across calls — pass a
+    per-actor dict so a Zipfian vocabulary amortizes to near-zero hashing cost
+    (stateful-actor pattern; the reference's analog is per-worker loop state,
+    /root/reference/dedupe.go:52-65)."""
+    if cache is None:
+        return np.fromiter((hash_token(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = hash_token(t)
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """uint64 hash of each k-token shingle, vectorized.
+
+    Combines k consecutive token hashes with position-dependent odd
+    multipliers plus a finalizing mix. A document with fewer than k tokens
+    yields a single shingle over what it has (so empty/short docs still get
+    a signature — the analog of the reference hashing degenerate images
+    rather than erroring, /root/reference/utils/resize.go:379-382).
+    """
+    n = len(token_hashes)
+    if n == 0:
+        return np.array([0xE220A8397B1DCDAF], dtype=np.uint64)  # canonical empty-doc shingle
+    if n < k:
+        k = n
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc = (acc + token_hashes[j : n - k + 1 + j] * _MIX[j % len(_MIX)])
+        # splitmix64 finalizer
+        acc ^= acc >> np.uint64(30)
+        acc *= np.uint64(0xBF58476D1CE4E5B9)
+        acc ^= acc >> np.uint64(27)
+        acc *= np.uint64(0x94D049BB133111EB)
+        acc ^= acc >> np.uint64(31)
+    return acc
+
+
+def hash_url(url: str) -> int:
+    """Deterministic int64 (non-negative) doc id from a url.
+
+    64-bit blake2b truncated to 63 bits so ids fit Arrow int64. At the
+    10^12-doc design point a 63-bit space gives a ~3e-8 per-pair collision
+    probability (~tens of spurious merges corpus-wide); callers needing zero
+    collisions can switch to the 128-bit variant (two columns) — documented
+    trade-off, SURVEY.md §1.3.
+    """
+    v = int.from_bytes(hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest(), "little")
+    return v & 0x7FFFFFFFFFFFFFFF
+
+
+def hash_urls(urls) -> np.ndarray:
+    """Vectorized-at-API-level id minting for a batch of urls → int64."""
+    return np.fromiter((hash_url(u) for u in urls), dtype=np.int64, count=len(urls))

