@@ -1,0 +1,232 @@
+"""The flagship pipeline: pages → near-duplicate clusters (SURVEY.md §3.4).
+
+    read_parquet(pages)                              url warc_ts html text lang
+      → map_batches(ExtractText)                     html → text (+doc_id)
+      → map_batches(SignatureStage, concurrency=N)   +simhash / +minhash
+      → band emission (vectorized map_batches)       ×B (band_key, doc_id)
+      → candidate_edges   [shuffle 1: sort band_key] (src, dst) candidates
+      → dedupe_edges      [shuffle 2: small edges]   distinct pairs
+      → verify_edges      [broadcast, no shuffle]    exact metric ≥ threshold
+      → connected_components                         (doc_id, cluster_id)
+      → assign + canonical                           pages_out
+
+The corpus streams through map_batches stages; the only all-to-all exchange
+of corpus-sized data is the band-key sort (16-byte rows × B). Everything
+downstream operates on the candidate/duplicate subset.
+
+Equivalent reference flow: ``Duplicates``, /root/reference/dedupe.go:101-123
+(hash → VP-tree build → greedy radius scan → groups), upgraded to true
+transitive components with deterministic canonical selection
+(min ``(warc_ts, url)`` per cluster — the "first member survives" policy of
+``-delete``, /root/reference/cmd/dedupe/main.go:228-230, made order-free).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from dedupe_ray.config import NearDupConfig
+from dedupe_ray.stages.banding import band_emitter
+from dedupe_ray.stages.candidates import candidate_edges, dedupe_edges, verify_edges
+from dedupe_ray.stages.clustering import connected_components
+from dedupe_ray.stages.extract import ExtractText
+from dedupe_ray.stages.signatures import SignatureStage
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["signatures_dataset", "match_edges", "near_duplicates", "assign_clusters"]
+
+
+def default_pool_size(cap: int = 16) -> int:
+    """Actor-pool size from the cluster's CPU count (leave headroom for the
+    read/write stages so the pipeline doesn't serialize)."""
+    try:
+        n = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # not initialized yet — caller owns the session
+        n = 4
+    return max(2, min(n - 1, cap))
+
+
+def signatures_dataset(
+    pages: "ray.data.Dataset",
+    config: NearDupConfig | None = None,
+    signature_concurrency: int | None = None,
+    extract: bool = True,
+) -> "ray.data.Dataset":
+    """pages → + text (extracted), doc_id, signature columns."""
+    config = config or NearDupConfig()
+    pool = signature_concurrency or default_pool_size()
+    ds = pages
+    if extract:
+        ds = ds.map_batches(
+            ExtractText, batch_format="pyarrow", batch_size=1024, concurrency=(1, pool)
+        )
+    else:
+        from dedupe_ray.stages.extract import mint_doc_ids
+
+        ds = ds.map_batches(mint_doc_ids, batch_format="pyarrow", batch_size=4096)
+    # actor pool: permutation tables + token-hash cache built once per actor;
+    # (1, pool) autoscaling so concurrent pools never starve each other
+    return ds.map_batches(
+        SignatureStage,
+        fn_constructor_args=(config,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, pool),
+    )
+
+
+def match_edges(
+    signatures: "ray.data.Dataset",
+    config: NearDupConfig | None = None,
+) -> "ray.data.Dataset":
+    """signatures → verified match edges (src, dst, score). Materialized."""
+    config = config or NearDupConfig()
+    banded = signatures.map_batches(
+        band_emitter(config.signature()), batch_format="pyarrow", batch_size=4096
+    )
+    cands = candidate_edges(banded, config.max_bucket_size)
+    # materialize the (small) distinct edge list: verify_edges consumes it
+    # twice (id collection + scoring) and the upstream double sort must not
+    # re-run; also lets the verifier actor pool run against a settled input.
+    distinct = dedupe_edges(cands).materialize()
+    return verify_edges(distinct, signatures, config).materialize()
+
+
+def assign_clusters(
+    signatures: "ray.data.Dataset",
+    clusters: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Attach cluster_id + is_canonical to every row.
+
+    The cluster map covers only duplicate-involved docs (small side) — it is
+    broadcast via ``ray.put`` and joined with binary-search lookups inside
+    ``map_batches``; the corpus itself never shuffles. Singletons get
+    ``cluster_id = doc_id``. Canonical member = min ``(warc_ts, url)`` within
+    the cluster, computed distributedly on the duplicate subset.
+    """
+    cmap = pa.concat_tables(
+        list(clusters.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        or [pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})]
+    )
+    ids = cmap.column("doc_id").to_numpy(zero_copy_only=False)
+    cids = cmap.column("cluster_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    map_ref = ray.put((ids[order], cids[order]))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        sids, scids = ray.get(map_ref)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cluster = d.copy()
+        if len(sids):
+            pos = np.searchsorted(sids, d)
+            pos_c = np.clip(pos, 0, len(sids) - 1)
+            hit = sids[pos_c] == d
+            cluster[hit] = scids[pos_c[hit]]
+        return batch.append_column("cluster_id", pa.array(cluster, pa.int64()))
+
+    with_cluster = signatures.map_batches(_assign, batch_format="pyarrow", batch_size=8192)
+
+    # canonical per cluster: min (warc_ts, url) over the duplicate subset only
+    def _dup_rows(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            batch.column("cluster_id").to_numpy(zero_copy_only=False)
+            != batch.column("doc_id").to_numpy(zero_copy_only=False)
+        )
+        # the cluster root (cluster_id == doc_id) is also a member — keep it
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sids, _ = ray.get(map_ref)
+        in_map = (
+            np.isin(d, sids) if len(sids) else np.zeros(len(d), dtype=bool)
+        )
+        keep = pa.array(np.logical_or(mask.to_numpy(zero_copy_only=False), in_map))
+        cols = ["cluster_id", "doc_id", "warc_ts", "url"]
+        cols = [c for c in cols if c in batch.column_names]
+        return batch.select(cols).filter(keep)
+
+    dup_rows = with_cluster.map_batches(_dup_rows, batch_format="pyarrow", batch_size=8192)
+
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    def _canonical_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"cluster_id": pa.array([], pa.int64()),
+                             "canonical_doc_id": pa.array([], pa.int64())})
+        cid = block.column("cluster_id").to_numpy(zero_copy_only=False)
+        did = block.column("doc_id").to_numpy(zero_copy_only=False)
+        ts = block.column("warc_ts").to_numpy(zero_copy_only=False)
+        urls = np.asarray(block.column("url").to_pylist(), dtype=object)
+        # block arrives sorted by cluster_id; pick lexicographic min (ts, url)
+        _, starts, counts = np.unique(cid, return_index=True, return_counts=True)
+        picks = []
+        for s, c in zip(starts, counts):
+            seg = slice(s, s + c)
+            best = min(range(s, s + c), key=lambda i: (ts[i], urls[i]))
+            picks.append(best)
+        picks = np.asarray(picks, dtype=np.int64)
+        return pa.table({"cluster_id": pa.array(cid[picks], pa.int64()),
+                         "canonical_doc_id": pa.array(did[picks], pa.int64())})
+
+    canon = pa.concat_tables(
+        list(
+            sorted_group_apply(dup_rows, "cluster_id", _canonical_block).iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        )
+        or [pa.table({"cluster_id": pa.array([], pa.int64()),
+                      "canonical_doc_id": pa.array([], pa.int64())})]
+    )
+    c_ids = canon.column("cluster_id").to_numpy(zero_copy_only=False)
+    c_canon = canon.column("canonical_doc_id").to_numpy(zero_copy_only=False)
+    c_order = np.argsort(c_ids, kind="stable")
+    canon_ref = ray.put((c_ids[c_order], c_canon[c_order]))
+
+    def _mark_canonical(batch: pa.Table) -> pa.Table:
+        sc_ids, sc_canon = ray.get(canon_ref)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cl = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+        is_canon = d == cl  # singletons: canonical by definition
+        if len(sc_ids):
+            pos = np.clip(np.searchsorted(sc_ids, cl), 0, len(sc_ids) - 1)
+            hit = sc_ids[pos] == cl
+            is_canon = np.where(hit, sc_canon[pos] == d, is_canon)
+        return batch.append_column("is_canonical", pa.array(is_canon, pa.bool_()))
+
+    return with_cluster.map_batches(_mark_canonical, batch_format="pyarrow", batch_size=8192)
+
+
+def near_duplicates(
+    pages: "ray.data.Dataset",
+    config: NearDupConfig | None = None,
+    extract: bool = True,
+    keep_columns: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Full flagship: pages → per-page (url, warc_ts, lang, doc_id,
+    cluster_id, is_canonical). ``keep_columns`` adds extra passthroughs."""
+    config = config or NearDupConfig()
+    sigs = signatures_dataset(pages, config, extract=extract)
+    # signatures feed both the edge pipeline and the final assignment —
+    # materialize once so the extract+signature work is not recomputed.
+    sigs = sigs.materialize()
+    edges = match_edges(sigs, config)
+    if edges.count() == 0:
+        clusters = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+        )
+    else:
+        clusters = connected_components(
+            edges, method=config.cc_method, local_max_edges=config.cc_local_max_edges
+        )
+    out = assign_clusters(sigs, clusters)
+    base = ["url", "warc_ts", "lang", "doc_id", "cluster_id", "is_canonical"]
+    cols = base + [c for c in (keep_columns or []) if c not in base]
+    have = out.schema().names
+    return out.select_columns([c for c in cols if c in have])

