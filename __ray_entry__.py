@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship near-dup pipeline on sf0.001; ``queries()``
+exposes one callable per implemented operator/pipeline (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+query (same column names, same value semantics). Ray is initialised by the
+driver BEFORE this module is imported — nothing here calls ``ray.init`` /
+``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +13,103 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from dedupe_ray.pipelines import queries as Q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: near-duplicate clustering over pages synthesized from the
+    sf0.001 documents table (read → extract → sign → block → verify →
+    cluster). Returns the per-page cluster assignment."""
+    return Q.neardup_pages_minhash("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- SQL-oracled ---------------------------------------------------
+        "lang_counts": Q.lang_counts,
+        "docs_per_source_lang": Q.docs_per_source_lang,
+        "doc_token_counts": Q.doc_token_counts,
+        "doc_bpe_token_counts": Q.doc_bpe_token_counts,
+        "doc_stats": Q.doc_stats,
+        "exact_dedup_docs": Q.exact_dedup_docs,
+        "top_docs_by_len": Q.top_docs_by_len,
+        "filter_long_docs": Q.filter_long_docs,
+        "orders_customers": Q.orders_customers,
+        "lineitem_agg": Q.lineitem_agg,
+        "events_user_stats": Q.events_user_stats,
+        "events_hourly_window": Q.events_hourly_window,
+        "distinct_mktsegment": Q.distinct_mktsegment,
+        "embedding_topk": Q.embedding_topk,
+        # --- rows-only (not SQL-expressible) -------------------------------
+        "neardup_pages_minhash": Q.neardup_pages_minhash,
+        "neardup_docs_simhash": Q.neardup_docs_simhash,
+        "compare_lookup": Q.compare_lookup,
+        "embedding_neardup": Q.embedding_neardup,
+        "langid_docs": Q.langid_docs,
+        "quality_docs": Q.quality_docs,
+        "fingerprint_docs": Q.fingerprint_docs,
+        "media_features": Q.media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bpe = Q.BPE_TOKEN_RE.replace("'", "''")
+    return {
+        "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "docs_per_source_lang": (
+            "SELECT source, lang, count(*) AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY source, lang"
+        ),
+        "doc_token_counts": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "doc_bpe_token_counts": (
+            f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) "
+            "AS n_bpe_tokens FROM documents"
+        ),
+        "doc_stats": (
+            "SELECT doc_id, "
+            "CAST(length(text) AS BIGINT) AS n_chars2, "
+            "CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct, "
+            "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits, "
+            "CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper, "
+            "CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_words "
+            "FROM documents"
+        ),
+        "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "top_docs_by_len": (
+            "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100"
+        ),
+        "filter_long_docs": "SELECT doc_id, lang FROM documents WHERE n_chars > 300",
+        "orders_customers": (
+            "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "events_user_stats": (
+            "SELECT user_id, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts "
+            "FROM events GROUP BY user_id"
+        ),
+        "events_hourly_window": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "distinct_mktsegment": "SELECT DISTINCT c_mktsegment FROM customer",
+        "embedding_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 5), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS sim "
+            "FROM q CROSS JOIN embeddings e) "
+            "SELECT query_id, CAST(row_number() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank, "
+            "vec_id FROM scored QUALIFY rank <= 10"
+        ),
+    }

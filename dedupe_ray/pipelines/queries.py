@@ -1,0 +1,459 @@
+"""Named query pipelines over the driver's testdata tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table. These
+back ``__ray_entry__.queries()``; the SQL-oracled ones are written so column
+names and value semantics match the DuckDB oracle EXACTLY (integer stats,
+order-independent aggregates, explicit tie-breaks — no fp-reduction-order
+hazards). None of them calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from dedupe_ray.config import NearDupConfig, SimHashConfig
+from dedupe_ray.functions.langid import LangIdentifier
+from dedupe_ray.functions.fingerprint import winnow_fingerprint
+from dedupe_ray.functions.quality import doc_stats_table, quality_score_table
+
+__all__ = ["read_table"]
+
+# BPE-ish token pattern — RE2-safe (no lookahead) so Arrow's
+# count_substring_regex and DuckDB's regexp_extract_all count identically.
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracled queries
+# ---------------------------------------------------------------------------
+
+
+def lang_counts(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["lang"])
+    return ds.groupby("lang").count().rename_columns({"count()": "n"})
+
+
+def docs_per_source_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "documents", ["source", "lang", "n_chars"])
+    return ds.groupby(["source", "lang"]).aggregate(
+        Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+def doc_token_counts(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), r"[^\s]+")
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(_counts, batch_format="pyarrow", batch_size=4096)
+
+
+def doc_bpe_token_counts(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), BPE_TOKEN_RE)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_bpe_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(_counts, batch_format="pyarrow", batch_size=4096)
+
+
+def doc_stats(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        s = doc_stats_table(batch.column("text"))
+        cols = {"doc_id": batch.column("doc_id")}
+        for k, v in s.items():
+            cols[k] = pc.cast(v, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(_stats, batch_format="pyarrow", batch_size=4096)
+
+
+def exact_dedup_docs(sf_dir: str):
+    from dedupe_ray.pipelines.exact import exact_dedup
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, text_col="text", order_cols=("doc_id",)).select_columns(["doc_id"])
+
+
+def top_docs_by_len(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(100)
+
+
+def filter_long_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n_chars"), 300)).select(["doc_id", "lang"]),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+
+
+def orders_customers(sf_dir: str):
+    """Broadcast hash join: customer (small side) shipped once via ray.put,
+    probed per batch with a vectorized searchsorted — no shuffle
+    (SURVEY.md §2.7: the engine's general-join capability)."""
+    cust = pa.concat_tables(
+        list(
+            read_table(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        )
+    )
+    keys = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    names = np.asarray(cust.column("c_name").to_pylist(), dtype=object)[order]
+    segs = np.asarray(cust.column("c_mktsegment").to_pylist(), dtype=object)[order]
+    ref = ray.put((keys[order], names, segs))
+
+    def _join(batch: pa.Table) -> pa.Table:
+        k, nm, sg = ray.get(ref)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(k, ck), 0, len(k) - 1)
+        hit = k[pos] == ck
+        out = batch.filter(pa.array(hit))
+        pos = pos[hit]
+        return pa.table(
+            {
+                "o_orderkey": out.column("o_orderkey"),
+                "o_totalprice": out.column("o_totalprice"),
+                "c_name": pa.array(nm[pos], pa.string()),
+                "c_mktsegment": pa.array(sg[pos], pa.string()),
+            }
+        )
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return orders.map_batches(_join, batch_format="pyarrow", batch_size=8192)
+
+
+def lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with PARTIAL pre-aggregation: each
+    batch collapses to one row per key before the (tiny) global groupby —
+    the shuffle moves per-batch partials, not rows (ray_guide: aggregation
+    at scale). l_quantity is integral so double sums are exact."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        return t.rename_columns(["l_returnflag", "l_linestatus", "p_qty", "p_n"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="sum_qty"), Sum("p_n", alias_name="n")
+    )
+    return out
+
+
+def events_user_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+    return ds.groupby("user_id").aggregate(
+        Count(alias_name="n"), Min("ts", alias_name="first_ts"), Max("ts", alias_name="last_ts")
+    )
+
+
+def events_hourly_window(sf_dir: str):
+    """Tumbling 1-hour event-time window per event_type (streaming-shaped
+    workload expressed as groupby over a derived window key)."""
+    ds = read_table(sf_dir, "events", ["event_type", "ts"])
+
+    def _win(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table({"event_type": batch.column("event_type"), "hour": hour})
+
+    return (
+        ds.map_batches(_win, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "hour"])
+        .count()
+        .rename_columns({"count()": "n"})
+    )
+
+
+def distinct_mktsegment(sf_dir: str):
+    ds = read_table(sf_dir, "customer", ["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+def embedding_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Exact cosine top-k of the first ``n_queries`` vectors (by vec_id)
+    against the whole corpus. float64 accumulation both here and in the
+    DuckDB oracle. Self-matches included (rank 1, similarity 1)."""
+    from dedupe_ray.stages.ann import brute_force_topk
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = pa.concat_tables(
+        list(
+            ds.sort("vec_id").limit(n_queries).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    )
+    qmat = (
+        q.column("embedding").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(n_queries, -1)
+    )
+    out = brute_force_topk(ds, qmat, k=k)
+    qids = q.column("vec_id").to_numpy(zero_copy_only=False)
+    mapped = pa.array(qids[out.column("query_id").to_numpy(zero_copy_only=False)], pa.int64())
+    return out.set_column(0, "query_id", mapped).select(["query_id", "rank", "vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL equivalent)
+# ---------------------------------------------------------------------------
+
+
+def langid_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    class _LangId:
+        def __init__(self):
+            self.ident = LangIdentifier()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            preds = self.ident.predict_batch(batch.column("text").to_pylist())
+            return pa.table(
+                {"doc_id": batch.column("doc_id"), "pred_lang": pa.array(preds, pa.string())}
+            )
+
+    return ds.map_batches(_LangId, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+
+
+def quality_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _q(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": batch.column("doc_id")}
+        cols.update(quality_score_table(batch.column("text")))
+        return pa.table(cols)
+
+    return ds.map_batches(_q, batch_format="pyarrow", batch_size=4096)
+
+
+def fingerprint_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        fps = [winnow_fingerprint(t or "") for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+                "fp_min": pa.array(
+                    [int(f.min()) if len(f) else 0 for f in fps], pa.uint64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_fp, batch_format="pyarrow", batch_size=2048)
+
+
+def _doc_pages_batch(batch: pa.Table, expand_dups: bool) -> pa.Table:
+    """documents → deterministic synthetic pages (url, warc_ts, html, text,
+    lang); every 5th doc also yields a near-duplicate variant row."""
+    from html import escape
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    urls, tss, htmls, outs, olang = [], [], [], [], []
+
+    def render(did, text, lang, variant):
+        url = f"https://docs.example/{did}/{variant}"
+        title = f"document {did}"
+        body = f"<p>{escape(text)}</p>"
+        html = (
+            f"<!DOCTYPE html><html><head><title>{escape(title)}</title></head>"
+            f"<body><main>{body}</main></body></html>"
+        ).encode()
+        oracle = f"{title}\n{' '.join(text.split())}".strip()
+        urls.append(url)
+        tss.append(1_704_067_200_000_000 + (did * 7919 + len(variant)) * 1_000_000)
+        htmls.append(html)
+        outs.append(oracle)
+        olang.append(lang)
+
+    for did, text, lang in zip(doc_ids, texts, langs):
+        render(did, text, lang, "base")
+        if expand_dups and did % 5 == 0:
+            toks = text.split()
+            rng = np.random.default_rng(did * 1_000_003 + 7)
+            n_edit = max(1, int(len(toks) * 0.04))
+            for j in rng.choice(max(1, len(toks)), size=min(n_edit, len(toks)), replace=False):
+                toks[int(j)] = f"v{did % 97}"
+            render(did, " ".join(toks), lang, "variant")
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(outs, pa.string()),
+            "lang": pa.array(olang, pa.string()),
+        }
+    )
+
+
+def pages_from_documents(sf_dir: str, expand_dups: bool = True) -> "ray.data.Dataset":
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ds.map_batches(
+        lambda b: _doc_pages_batch(b, expand_dups), batch_format="pyarrow", batch_size=2048
+    )
+
+
+def neardup_pages_minhash(sf_dir: str):
+    """The flagship over synthesized pages (rows-only correctness check:
+    deterministic output, row count = page count)."""
+    from dedupe_ray.pipelines.neardup import near_duplicates
+
+    pages = pages_from_documents(sf_dir)
+    # drop the oracle text so extraction runs for real
+    pages = pages.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("text"),
+            "text",
+            pa.array([None] * b.num_rows, pa.string()),
+        ),
+        batch_format="pyarrow",
+    )
+    out = near_duplicates(pages, NearDupConfig(algo="minhash"))
+    return out.sort("url")
+
+
+def neardup_docs_simhash(sf_dir: str):
+    """SimHash near-dup clusters directly over the documents table."""
+    from dedupe_ray.pipelines.neardup import near_duplicates
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _as_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+                "warc_ts": pa.array(
+                    [1_704_067_200_000_000 + i * 1_000_000 for i in ids], pa.timestamp("us")
+                ),
+                "text": batch.column("text"),
+                "lang": batch.column("lang"),
+            }
+        )
+
+    pages = ds.map_batches(_as_pages, batch_format="pyarrow", batch_size=4096)
+    out = near_duplicates(pages, NearDupConfig(algo="simhash"), extract=False)
+    return out.sort("url")
+
+
+def compare_lookup(sf_dir: str):
+    """Compare-mode lookup: neighbors of doc 0's text within the corpus."""
+    from dedupe_ray.pipelines.compare import compare
+    from dedupe_ray.pipelines.neardup import signatures_dataset
+
+    cfg = NearDupConfig(algo="minhash")
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    target = docs.sort("doc_id").limit(1).take(1)[0]["text"]
+
+    def _as_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {"url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+             "text": batch.column("text")}
+        )
+
+    rows = docs.map_batches(_as_rows, batch_format="pyarrow", batch_size=4096)
+    sigs = signatures_dataset(rows, cfg, extract=False).materialize()
+    return compare(sigs, target, cfg).select_columns(["url", "score"]).sort("url")
+
+
+def embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup edges via SRP codes + simhash banding.
+
+    The testdata embeddings are near-orthogonal random vectors (no true near
+    pairs), so every 10th vector is augmented with a deterministic slightly
+    perturbed copy (vec_id + 1_000_000) — the planted positives the blocking
+    must recover without emitting random-pair false positives."""
+    from dedupe_ray.stages.ann import embedding_neardup_edges
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        flat = batch.column("embedding").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ).astype(np.float32)
+        mat = flat.reshape(len(ids), -1)
+        pick = ids % 10 == 0
+        new_ids = ids[pick] + 1_000_000
+        noise = np.stack(
+            [np.random.default_rng(int(i)).normal(0, 0.02, mat.shape[1]) for i in ids[pick]]
+        ).astype(np.float32) if pick.any() else np.zeros((0, mat.shape[1]), np.float32)
+        new_mat = mat[pick] + noise
+        all_ids = np.concatenate([ids, new_ids])
+        all_mat = np.concatenate([mat, new_mat])
+        return pa.table(
+            {
+                "vec_id": pa.array(all_ids, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(all_mat.reshape(-1), pa.float32()), all_mat.shape[1]
+                ),
+            }
+        )
+
+    planted = ds.map_batches(_plant, batch_format="pyarrow", batch_size=4096)
+    edges = embedding_neardup_edges(planted, dim=64, hamming_threshold=8, bands=16)
+    return edges.sort(["src", "dst"])
+
+
+def media_features(sf_dir: str):
+    """Multimodal plumbing: synthesize a media table from document bytes and
+    run the (stubbed-decode) feature stage as an actor pool."""
+    from dedupe_ray.stages.multimodal import MediaFeatureStage
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _as_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "url": pa.array([f"img://{i}.png" for i in ids], pa.string()),
+                "media_type": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array([t.encode() for t in texts], pa.binary()),
+                "width": pa.array([64] * len(ids), pa.int32()),
+                "height": pa.array([64] * len(ids), pa.int32()),
+                "duration_ms": pa.array([0] * len(ids), pa.int32()),
+            }
+        )
+
+    media = ds.map_batches(_as_media, batch_format="pyarrow", batch_size=1024)
+    out = media.map_batches(
+        MediaFeatureStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+    return out.select_columns(["media_id", "decode_ok"]).sort("media_id")

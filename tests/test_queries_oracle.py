@@ -1,0 +1,122 @@
+"""Local replica of the driver's correctness gate: run every ``queries()``
+entry at sf0.001 and compare the SQL-oracled ones against DuckDB
+(row count + schema + order-insensitive values)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+
+    importlib.reload(m)
+    return m
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        tbl = pa.concat_tables(
+            list(result.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+            or [pa.table({})]
+        )
+        return tbl.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), (
+        f"{name}: columns {sorted(ray_df.columns)} != {sorted(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} rows != {len(sql_df)}"
+    a, b = _canon(ray_df), _canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            assert [round(float(x), 9) if not math.isnan(float(x)) else "nan" for x in av] == [
+                round(float(x), 9) if not math.isnan(float(x)) else "nan" for x in bv
+            ], f"{name}: column {c} float mismatch"
+        else:
+            av = av.astype(str).tolist()
+            bv = bv.astype(str).tolist()
+            assert av == bv, (
+                f"{name}: column {c} mismatch; first diff at "
+                f"{next((i for i, (x, y) in enumerate(zip(av, bv)) if x != y), None)}"
+            )
+
+
+def test_sql_oracled_queries(entrymod, con):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    failures = []
+    for name, sql in oracles.items():
+        ray_df = _to_pandas(qs[name](SF_DIR))
+        sql_df = con.execute(sql).fetchdf()
+        try:
+            _compare(ray_df, sql_df, name)
+        except AssertionError as e:
+            failures.append(str(e))
+    assert not failures, "\n".join(failures)
+
+
+def test_rows_only_queries_run(entrymod):
+    qs = entrymod.queries()
+    oracles = set(entrymod.oracle_sql())
+    for name, fn in qs.items():
+        if name in oracles:
+            continue
+        df = _to_pandas(fn(SF_DIR))
+        assert len(df) > 0, f"{name}: empty result"
+        assert len(df.columns) > 0, name
+
+
+def test_entry_smoke(entrymod):
+    df = _to_pandas(entrymod.entry())
+    assert len(df) >= 500  # sf0.001 documents → >= 500 pages
+    assert "cluster_id" in df.columns and "is_canonical" in df.columns
+    # planted variants (doc_id % 5 == 0) must cluster with their base
+    base = df[df.url.str.endswith("/base")].copy()
+    var = df[df.url.str.endswith("/variant")].copy()
+    assert len(var) > 0
+    base["key"] = base.url.str.split("/").str[-2]
+    var["key"] = var.url.str.split("/").str[-2]
+    merged = var.merge(base, on="key", suffixes=("_v", "_b"))
+    frac = (merged.cluster_id_v == merged.cluster_id_b).mean()
+    assert frac >= 0.95, frac
