@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": Q.embedding_topk,
         # --- rows-only (not SQL-expressible) -------------------------------
         "neardup_pages_minhash": Q.neardup_pages_minhash,
+        "neardup_pages_bench": Q.neardup_pages_bench,
         "neardup_docs_simhash": Q.neardup_docs_simhash,
         "compare_lookup": Q.compare_lookup,
         "embedding_neardup": Q.embedding_neardup,
@@ -103,7 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_mktsegment": "SELECT DISTINCT c_mktsegment FROM customer",
         "embedding_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
-            "ORDER BY vec_id LIMIT 5), "
+            "WHERE vec_id < 5), "
             "scored AS (SELECT q.query_id, e.vec_id, "
             "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
             "CAST(e.embedding AS DOUBLE[])) AS sim "

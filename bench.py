@@ -1,0 +1,134 @@
+"""Benchmark harness — one JSON line on stdout (driver contract).
+
+    python bench.py              # headline + per-query seconds at $GRAFT_SF_DIR
+    python bench.py --scaling    # same headline job at num_cpus=8 and =32 in
+                                 # fresh processes → throughputs + efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+This script OWNS its Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# benched queries: the flagship + one representative per operator family
+BENCH_QUERIES = [
+    "neardup_pages_bench",     # headline: full extract→sign→block→verify→cluster, ×10 corpus
+    "neardup_docs_simhash",
+    "exact_dedup_docs",
+    "doc_stats",
+    "lineitem_agg",
+    "events_hourly_window",
+    "orders_customers",
+    "embedding_topk",
+    "embedding_neardup",
+]
+HEADLINE = "neardup_pages_bench"
+
+
+def _consume(result) -> int:
+    """Force full execution; return row count."""
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        n = 0
+        for b in result.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return len(result)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    only = os.environ.get("GRAFT_BENCH_ONLY")
+    bench_queries = [only] if only else BENCH_QUERIES
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    for t in ["documents", "embeddings", "lineitem", "events", "orders", "customer"]:
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        rows[name] = _consume(qs[name](SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+
+    headline_rows = rows[HEADLINE]
+    headline_sec = times[HEADLINE]
+    return {
+        "metric": "headline_neardup_pages_sec",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "pages_per_sec": round(headline_rows / headline_sec, 1) if headline_sec else None,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline job at two parallelism levels in fresh processes —
+    the sandbox evidence for the N→4N cluster-scaling criterion."""
+    results = {}
+    lo = int(os.environ.get("GRAFT_SCALE_N", "8"))
+    for ncpu in (lo, lo * 4):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_BENCH_ONLY=HEADLINE)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    hi = lo * 4
+    t_lo = results[lo]["value"]
+    t_hi = results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": f"scaling_efficiency_{lo}_to_{hi}",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"pages_per_sec_{lo}": results[lo]["pages_per_sec"],
+        f"pages_per_sec_{hi}": results[hi]["pages_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

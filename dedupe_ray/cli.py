@@ -1,0 +1,165 @@
+"""CLI driver — the ``ray job submit`` entry point.
+
+Mirrors the reference CLI surface (/root/reference/cmd/dedupe/main.go:65-93:
+-o, -search, -threshold, -hash, move/copy/delete actions) on web-scale
+parquet:
+
+    python -m dedupe_ray.cli dedup   --input pages/*.parquet --output out/ \
+        [--algo minhash|simhash] [--threshold X] [--keep-canonical-only]
+    python -m dedupe_ray.cli compare --input pages/*.parquet --target-text "…"
+    python -m dedupe_ray.cli stats   --input pages/*.parquet
+
+The CLI owns the Ray session (guarded init); the library never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+from dedupe_ray.config import NearDupConfig, SIGNATURE_ALGOS
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+            kwargs["address"] = "local"
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _expand(paths: list[str]) -> list[str]:
+    out: list[str] = []
+    for p in paths:
+        hits = sorted(glob.glob(p))
+        out.extend(hits if hits else [p])
+    return out
+
+
+def _config(args) -> NearDupConfig:
+    if args.algo not in SIGNATURE_ALGOS:
+        # invalid algo name falls back to the default with a warning, the way
+        # the reference falls back to DCT (/root/reference/cmd/dedupe/main.go:131-137)
+        print(f"warning: unknown algo {args.algo!r}, using minhash", file=sys.stderr)
+        args.algo = "minhash"
+    cfg = NearDupConfig(algo=args.algo)
+    if args.threshold is not None:
+        cfg = cfg.with_threshold(args.threshold)
+    return cfg
+
+
+def cmd_dedup(args) -> int:
+    from dedupe_ray.pipelines.runner import run_neardup_checkpointed
+
+    _init_ray(args.num_cpus)
+    cfg = _config(args)
+    metrics = run_neardup_checkpointed(
+        _expand(args.input), args.output, cfg, extract=not args.no_extract
+    )
+    if args.keep_canonical_only:
+        # the -delete analog: materialize survivors only (keep the canonical
+        # member of each cluster, /root/reference/cmd/dedupe/main.go:226-236)
+        import pyarrow.compute as pc
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{args.output}/assignment")
+        ds.map_batches(
+            lambda b: b.filter(pc.equal(b.column("is_canonical"), True)),
+            batch_format="pyarrow",
+        ).write_parquet(f"{args.output}/survivors")
+        metrics["survivors"] = {"path": f"{args.output}/survivors"}
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
+def cmd_compare(args) -> int:
+    import ray.data
+
+    from dedupe_ray.pipelines.compare import compare
+    from dedupe_ray.pipelines.neardup import signatures_dataset
+
+    _init_ray(args.num_cpus)
+    cfg = _config(args)
+    pages = ray.data.read_parquet(_expand(args.input))
+    sigs = signatures_dataset(pages, cfg, extract=not args.no_extract).materialize()
+    if args.target_text is not None:
+        target = args.target_text
+    else:
+        hit = sigs.filter(lambda r: r["url"] == args.target_url).take(1)
+        if not hit:
+            print(f"error: target url {args.target_url!r} not in corpus", file=sys.stderr)
+            return 2
+        target = hit[0]["text"]
+    out = compare(sigs, target, cfg)
+    for batch in out.select_columns(["url", "score"]).iter_batches(
+        batch_size=10_000, batch_format="pandas"
+    ):
+        for _, row in batch.iterrows():
+            print(f"{row['url']}\t{row['score']:.4f}")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    import pyarrow as pa
+    import ray.data
+
+    from dedupe_ray.functions.quality import doc_stats_table
+
+    _init_ray(args.num_cpus)
+    pages = ray.data.read_parquet(_expand(args.input))
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        cols = {"url": batch.column("url")}
+        cols.update(doc_stats_table(batch.column("text")))
+        return pa.table(cols)
+
+    out = pages.map_batches(_stats, batch_format="pyarrow")
+    if args.output:
+        out.write_parquet(args.output)
+    else:
+        print(out.to_pandas().to_string())
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dedupe_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--input", nargs="+", required=True, help="parquet paths/globs")
+    common.add_argument("--algo", default="minhash", help="minhash | simhash")
+    common.add_argument("--threshold", type=float, default=None)
+    common.add_argument("--num-cpus", type=int, default=None)
+    common.add_argument("--no-extract", action="store_true",
+                        help="input already has extracted text")
+
+    d = sub.add_parser("dedup", parents=[common])
+    d.add_argument("--output", required=True)
+    d.add_argument("--keep-canonical-only", action="store_true")
+    d.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser("compare", parents=[common])
+    g = c.add_mutually_exclusive_group(required=True)
+    g.add_argument("--target-text")
+    g.add_argument("--target-url")
+    c.set_defaults(fn=cmd_compare)
+
+    s = sub.add_parser("stats", parents=[common])
+    s.add_argument("--output", default=None)
+    s.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,21 +63,25 @@ def signatures_dataset(
     config = config or NearDupConfig()
     pool = signature_concurrency or default_pool_size()
     ds = pages
+    # batch_size=None → batches are whole blocks: inherits the reader's block
+    # parallelism (a fixed batch_size would coalesce many small blocks into
+    # few batches and serialize the pool on small inputs; at scale blocks are
+    # bounded by DataContext.target_max_block_size anyway)
     if extract:
         ds = ds.map_batches(
-            ExtractText, batch_format="pyarrow", batch_size=1024, concurrency=(1, pool)
+            ExtractText, batch_format="pyarrow", batch_size=None, concurrency=(1, pool)
         )
     else:
         from dedupe_ray.stages.extract import mint_doc_ids
 
-        ds = ds.map_batches(mint_doc_ids, batch_format="pyarrow", batch_size=4096)
+        ds = ds.map_batches(mint_doc_ids, batch_format="pyarrow", batch_size=None)
     # actor pool: permutation tables + token-hash cache built once per actor;
     # (1, pool) autoscaling so concurrent pools never starve each other
     return ds.map_batches(
         SignatureStage,
         fn_constructor_args=(config,),
         batch_format="pyarrow",
-        batch_size=1024,
+        batch_size=None,
         concurrency=(1, pool),
     )
 

@@ -209,9 +209,12 @@ def embedding_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = pa.concat_tables(
         list(
-            ds.sort("vec_id").limit(n_queries).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            ds.map_batches(
+                lambda b: b.filter(pc.less(b.column("vec_id"), n_queries)),
+                batch_format="pyarrow",
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
         )
-    )
+    ).sort_by("vec_id")
     qmat = (
         q.column("embedding").combine_chunks().flatten().to_numpy(zero_copy_only=False)
         .astype(np.float64)
@@ -274,9 +277,12 @@ def fingerprint_docs(sf_dir: str):
     return ds.map_batches(_fp, batch_format="pyarrow", batch_size=2048)
 
 
-def _doc_pages_batch(batch: pa.Table, expand_dups: bool) -> pa.Table:
+def _doc_pages_batch(batch: pa.Table, expand_dups: bool, copies: int) -> pa.Table:
     """documents → deterministic synthetic pages (url, warc_ts, html, text,
-    lang); every 5th doc also yields a near-duplicate variant row."""
+    lang). Every 5th doc also yields a near-duplicate variant row; with
+    ``copies > 1`` each doc additionally yields ``copies-1`` token-permuted
+    DISTINCT pages (same vocabulary, shuffled order → low shingle overlap) —
+    hard negatives that scale the corpus for compute-bound benchmarking."""
     from html import escape
 
     doc_ids = batch.column("doc_id").to_pylist()
@@ -286,7 +292,7 @@ def _doc_pages_batch(batch: pa.Table, expand_dups: bool) -> pa.Table:
 
     def render(did, text, lang, variant):
         url = f"https://docs.example/{did}/{variant}"
-        title = f"document {did}"
+        title = f"document {did} {variant}"
         body = f"<p>{escape(text)}</p>"
         html = (
             f"<!DOCTYPE html><html><head><title>{escape(title)}</title></head>"
@@ -301,8 +307,13 @@ def _doc_pages_batch(batch: pa.Table, expand_dups: bool) -> pa.Table:
 
     for did, text, lang in zip(doc_ids, texts, langs):
         render(did, text, lang, "base")
+        toks0 = text.split()
+        for c in range(1, copies):
+            rng_c = np.random.default_rng(did * 131_071 + c)
+            perm = rng_c.permutation(len(toks0))
+            render(did, " ".join(toks0[int(j)] for j in perm), lang, f"copy{c}")
         if expand_dups and did % 5 == 0:
-            toks = text.split()
+            toks = list(toks0)
             rng = np.random.default_rng(did * 1_000_003 + 7)
             n_edit = max(1, int(len(toks) * 0.04))
             for j in rng.choice(max(1, len(toks)), size=min(n_edit, len(toks)), replace=False):
@@ -320,19 +331,23 @@ def _doc_pages_batch(batch: pa.Table, expand_dups: bool) -> pa.Table:
     )
 
 
-def pages_from_documents(sf_dir: str, expand_dups: bool = True) -> "ray.data.Dataset":
+def pages_from_documents(
+    sf_dir: str, expand_dups: bool = True, copies: int = 1
+) -> "ray.data.Dataset":
     ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
     return ds.map_batches(
-        lambda b: _doc_pages_batch(b, expand_dups), batch_format="pyarrow", batch_size=2048
+        lambda b: _doc_pages_batch(b, expand_dups, copies),
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
 
-def neardup_pages_minhash(sf_dir: str):
+def neardup_pages_minhash(sf_dir: str, copies: int = 1):
     """The flagship over synthesized pages (rows-only correctness check:
     deterministic output, row count = page count)."""
     from dedupe_ray.pipelines.neardup import near_duplicates
 
-    pages = pages_from_documents(sf_dir)
+    pages = pages_from_documents(sf_dir, copies=copies)
     # drop the oracle text so extraction runs for real
     pages = pages.map_batches(
         lambda b: b.set_column(
@@ -344,6 +359,12 @@ def neardup_pages_minhash(sf_dir: str):
     )
     out = near_duplicates(pages, NearDupConfig(algo="minhash"))
     return out.sort("url")
+
+
+def neardup_pages_bench(sf_dir: str):
+    """Compute-bound flagship workload: ×10 corpus expansion (50k+ pages at
+    sf0.1) — the headline benchmark & scaling-efficiency job."""
+    return neardup_pages_minhash(sf_dir, copies=10)
 
 
 def neardup_docs_simhash(sf_dir: str):

@@ -1,0 +1,72 @@
+"""Checkpointed flagship runner — resumable, with lineage + metrics.
+
+Splits the flagship into restartable stages, each committed as partitioned
+parquet with a lineage sidecar (state/checkpoint.py). A rerun with the same
+config + input fingerprint skips finished stages (north_rule: "resumable
+from checkpoint with per-partition lineage + metrics").
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import ray.data
+
+from dedupe_ray.config import NearDupConfig
+from dedupe_ray.pipelines.neardup import assign_clusters, match_edges, signatures_dataset
+from dedupe_ray.stages.clustering import connected_components
+from dedupe_ray.state.checkpoint import CheckpointedRun
+
+__all__ = ["run_neardup_checkpointed"]
+
+
+def _input_fingerprint(paths: Sequence[str]) -> str:
+    """Cheap stable fingerprint of the input files (path, size, mtime)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()[:16]
+
+
+def run_neardup_checkpointed(
+    input_paths: Sequence[str],
+    out_root: str,
+    config: NearDupConfig | None = None,
+    extract: bool = True,
+) -> dict:
+    """read input parquet → checkpointed signatures / edges / clusters /
+    final assignment under ``out_root``. Returns the run metrics."""
+    config = config or NearDupConfig()
+    run = CheckpointedRun(out_root, config.config_hash(), _input_fingerprint(input_paths))
+
+    sigs = run.stage(
+        "signatures",
+        lambda: signatures_dataset(ray.data.read_parquet(list(input_paths)), config,
+                                   extract=extract),
+    )
+    edges = run.stage(
+        "edges",
+        lambda: match_edges(sigs, config),
+        upstream=["signatures"],
+    )
+    clusters = run.stage(
+        "clusters",
+        lambda: connected_components(
+            edges.materialize(), method=config.cc_method,
+            local_max_edges=config.cc_local_max_edges,
+        ),
+        upstream=["edges"],
+    )
+    run.stage(
+        "assignment",
+        lambda: assign_clusters(sigs, clusters).drop_columns(
+            [c for c in ("minhash", "simhash", "text", "html") if c in sigs.schema().names]
+        ),
+        upstream=["signatures", "clusters"],
+    )
+    run.write_run_manifest()
+    return run.metrics
