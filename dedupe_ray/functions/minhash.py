@@ -30,19 +30,18 @@ class MinHasher:
         self.num_perms = num_perms
         self.shingle_size = shingle_size
         rng = np.random.default_rng(seed)
-        # Universal hashing h_j(x) = ((a_j * x + b_j) mod p) mod 2^32, p = 2^61-1.
-        self.a = rng.integers(1, int(_MERSENNE61), size=num_perms, dtype=np.uint64)
-        self.b = rng.integers(0, int(_MERSENNE61), size=num_perms, dtype=np.uint64)
+        # Multiply-shift universal hashing: h_j(x) = (a_j·x + b_j) >> 32 with
+        # a_j odd — 2 ops per value vs ~6 for a Mersenne-prime scheme, same
+        # minwise behavior in practice (Dietzfelbinger et al. multiply-shift).
+        self.a = rng.integers(0, 1 << 63, size=num_perms, dtype=np.uint64) * 2 + 1
+        self.b = rng.integers(0, 1 << 32, size=num_perms, dtype=np.uint64)
         self.token_cache: dict[str, int] = {}
 
     def _perm_values(self, shingles: np.ndarray, j0: int, j1: int) -> np.ndarray:
         """(n_shingles, j1-j0) permuted values, uint32."""
-        x = (shingles & _MERSENNE61)[:, None]
         with np.errstate(over="ignore"):
-            v = (x * self.a[None, j0:j1] + self.b[None, j0:j1])
-            v = (v & _MERSENNE61) + (v >> np.uint64(61))
-            v = np.where(v >= _MERSENNE61, v - _MERSENNE61, v)
-        return (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            v = shingles[:, None] * self.a[None, j0:j1] + self.b[None, j0:j1]
+        return (v >> np.uint64(32)).astype(np.uint32)
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         """(num_perms,) uint32 signature of one shingle-hash set."""

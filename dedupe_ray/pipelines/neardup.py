@@ -31,7 +31,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from dedupe_ray.config import NearDupConfig
+from dedupe_ray.config import NearDupConfig, SimHashConfig
 from dedupe_ray.stages.banding import band_emitter
 from dedupe_ray.stages.candidates import candidate_edges, dedupe_edges, verify_edges
 from dedupe_ray.stages.clustering import connected_components
@@ -53,36 +53,52 @@ def default_pool_size(cap: int = 16) -> int:
     return max(2, min(n - 1, cap))
 
 
+# Per-WORKER-PROCESS stage cache. The extract+signature stage runs as plain
+# tasks (Ray's prestarted worker pool → full parallelism from the first
+# block, no actor-pool spin-up latency); each worker process lazily builds
+# its SignatureStage once and keeps the token-hash memo cache warm across
+# tasks — the same amortization an actor pool gives, without its startup
+# serialization. (Actor pools remain the right tool for stages with HEAVY
+# state — models, indexes — and are used elsewhere, e.g. langid / media.)
+_PROC_STAGES: dict[str, "SignatureStage"] = {}
+
+
+def _extract_and_sign(batch: pa.Table, config: NearDupConfig, extract: bool) -> pa.Table:
+    key = config.config_hash() + str(extract)
+    stage = _PROC_STAGES.get(key)
+    if stage is None:
+        stage = SignatureStage(config)
+        _PROC_STAGES[key] = stage
+    if extract:
+        batch = ExtractText()(batch)
+    elif "doc_id" not in batch.column_names:
+        from dedupe_ray.stages.extract import mint_doc_ids
+
+        batch = mint_doc_ids(batch)
+    return stage(batch)
+
+
 def signatures_dataset(
     pages: "ray.data.Dataset",
     config: NearDupConfig | None = None,
     signature_concurrency: int | None = None,
     extract: bool = True,
 ) -> "ray.data.Dataset":
-    """pages → + text (extracted), doc_id, signature columns."""
-    config = config or NearDupConfig()
-    pool = signature_concurrency or default_pool_size()
-    ds = pages
-    # batch_size=None → batches are whole blocks: inherits the reader's block
-    # parallelism (a fixed batch_size would coalesce many small blocks into
-    # few batches and serialize the pool on small inputs; at scale blocks are
-    # bounded by DataContext.target_max_block_size anyway)
-    if extract:
-        ds = ds.map_batches(
-            ExtractText, batch_format="pyarrow", batch_size=None, concurrency=(1, pool)
-        )
-    else:
-        from dedupe_ray.stages.extract import mint_doc_ids
+    """pages → + text (extracted), doc_id, signature columns.
 
-        ds = ds.map_batches(mint_doc_ids, batch_format="pyarrow", batch_size=None)
-    # actor pool: permutation tables + token-hash cache built once per actor;
-    # (1, pool) autoscaling so concurrent pools never starve each other
-    return ds.map_batches(
-        SignatureStage,
-        fn_constructor_args=(config,),
+    One FUSED map_batches (extract → mint ids → sign): one pass over the
+    corpus, zero intermediate block materialization. batch_size=None keeps
+    the reader's block structure (a fixed batch_size would coalesce blocks
+    and throttle parallelism on small inputs; at scale blocks are bounded by
+    DataContext.target_max_block_size anyway).
+    """
+    config = config or NearDupConfig()
+    from functools import partial
+
+    return pages.map_batches(
+        partial(_extract_and_sign, config=config, extract=extract),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=(1, pool),
     )
 
 
@@ -206,20 +222,164 @@ def assign_clusters(
     return with_cluster.map_batches(_mark_canonical, batch_format="pyarrow", batch_size=8192)
 
 
+def _finalize_columns(out: "ray.data.Dataset", keep_columns: list[str] | None):
+    base = ["url", "warc_ts", "lang", "doc_id", "cluster_id", "is_canonical"]
+    cols = base + [c for c in (keep_columns or []) if c not in base]
+    have = out.schema().names
+    return out.select_columns([c for c in cols if c in have])
+
+
+def _near_duplicates_driver_path(
+    sigs: "ray.data.Dataset", cand: "ray.data.Dataset", config: NearDupConfig
+) -> "ray.data.Dataset":
+    """Small-edge-set fast path: ONE distributed pass filters signatures of
+    edge-involved docs to the driver; verification, union-find and canonical
+    selection run driver-side on that slice; a single broadcast map stamps
+    the corpus. Total dataset executions after banding: 2 (slim filter +
+    final stamp) — the all-pairs work still happened distributedly in the
+    banding sort."""
+    from dedupe_ray.functions.metrics import hamming64
+    from dedupe_ray.stages.candidates import _collect_edge_ids
+    from dedupe_ray.stages.clustering import union_find_local
+
+    # collect + dedupe candidate pairs (already materialized, block-deduped)
+    parts = list(cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if parts:
+        cand_tbl = pa.concat_tables(parts)
+        pairs = np.unique(
+            np.stack(
+                [cand_tbl.column("src").to_numpy(zero_copy_only=False),
+                 cand_tbl.column("dst").to_numpy(zero_copy_only=False)],
+                axis=1,
+            ),
+            axis=0,
+        )
+    else:
+        pairs = np.zeros((0, 2), dtype=np.int64)
+
+    cfg = config.signature()
+    is_simhash = isinstance(cfg, SimHashConfig)
+    sig_col = "simhash" if is_simhash else "minhash"
+    want = np.unique(pairs.reshape(-1))
+    want_ref = ray.put(want)
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        mask = np.isin(batch.column("doc_id").to_numpy(zero_copy_only=False), w)
+        cols = ["doc_id", sig_col] + [
+            c for c in ("warc_ts", "url") if c in batch.column_names
+        ]
+        return batch.select(cols).filter(pa.array(mask))
+
+    slim = pa.concat_tables(
+        list(
+            sigs.map_batches(_slim, batch_format="pyarrow", batch_size=None).iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        )
+        or [pa.table({"doc_id": pa.array([], pa.int64())})]
+    )
+    ids = slim.column("doc_id").to_numpy(zero_copy_only=False) if slim.num_rows else np.zeros(0, np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+
+    # --- verify (vectorized, driver) ---------------------------------------
+    verified = pairs[:0]
+    if len(pairs) and slim.num_rows:
+        ia = np.searchsorted(ids_s, pairs[:, 0])
+        ib = np.searchsorted(ids_s, pairs[:, 1])
+        if is_simhash:
+            sim = slim.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+            keep = hamming64(sim[ia], sim[ib]) <= cfg.threshold
+        else:
+            flat = slim.column("minhash").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            mh = flat.reshape(slim.num_rows, config.minhash.num_perms)[order]
+            keep = (mh[ia] == mh[ib]).mean(axis=1) >= cfg.threshold
+        verified = pairs[keep]
+
+    # --- cluster (driver union-find) + canonical ---------------------------
+    cl = union_find_local(
+        pa.table({"src": pa.array(verified[:, 0], pa.int64()),
+                  "dst": pa.array(verified[:, 1], pa.int64())})
+    )
+    node = cl.column("doc_id").to_numpy(zero_copy_only=False)
+    root = cl.column("cluster_id").to_numpy(zero_copy_only=False)
+    n_order = np.argsort(node, kind="stable")
+    node_s, root_s = node[n_order], root[n_order]
+
+    canon_of: dict[int, int] = {}
+    if len(node_s) and slim.num_rows and "warc_ts" in slim.column_names:
+        ts_all = slim.column("warc_ts").to_numpy(zero_copy_only=False)[order]
+        url_all = np.asarray(slim.column("url").to_pylist(), dtype=object)[order]
+        pos = np.searchsorted(ids_s, node_s)
+        for n_id, r, p in zip(node_s.tolist(), root_s.tolist(), pos.tolist()):
+            key = (ts_all[p], url_all[p], n_id)
+            best = canon_of.get(r)
+            if best is None or key < best:
+                canon_of[r] = key
+        canon_items = sorted((r, k[2]) for r, k in canon_of.items())
+    else:
+        canon_items = sorted((r, r) for r in set(root_s.tolist()))
+    c_ids = np.asarray([c for c, _ in canon_items], dtype=np.int64)
+    c_doc = np.asarray([d for _, d in canon_items], dtype=np.int64)
+
+    stamp_ref = ray.put((node_s, root_s, c_ids, c_doc))
+
+    def _stamp(batch: pa.Table) -> pa.Table:
+        nd, rt, ci, cd = ray.get(stamp_ref)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cluster = d.copy()
+        if len(nd):
+            p = np.clip(np.searchsorted(nd, d), 0, len(nd) - 1)
+            hit = nd[p] == d
+            cluster[hit] = rt[p[hit]]
+        is_canon = d == cluster
+        if len(ci):
+            p = np.clip(np.searchsorted(ci, cluster), 0, len(ci) - 1)
+            hit = ci[p] == cluster
+            is_canon = np.where(hit, cd[p] == d, is_canon)
+        batch = batch.append_column("cluster_id", pa.array(cluster, pa.int64()))
+        return batch.append_column("is_canonical", pa.array(is_canon, pa.bool_()))
+
+    return sigs.map_batches(_stamp, batch_format="pyarrow", batch_size=None)
+
+
 def near_duplicates(
     pages: "ray.data.Dataset",
     config: NearDupConfig | None = None,
     extract: bool = True,
     keep_columns: list[str] | None = None,
+    mode: str = "auto",
 ) -> "ray.data.Dataset":
     """Full flagship: pages → per-page (url, warc_ts, lang, doc_id,
-    cluster_id, is_canonical). ``keep_columns`` adds extra passthroughs."""
+    cluster_id, is_canonical). ``keep_columns`` adds extra passthroughs.
+
+    ``mode``: "driver" verifies/clusters the (small) candidate set driver-side
+    after one distributed slim pass; "distributed" keeps every step on the
+    cluster (star-contraction CC, distributed canonical selection); "auto"
+    switches on candidate count vs ``config.cc_local_max_edges``.
+    """
     config = config or NearDupConfig()
     sigs = signatures_dataset(pages, config, extract=extract)
     # signatures feed both the edge pipeline and the final assignment —
     # materialize once so the extract+signature work is not recomputed.
     sigs = sigs.materialize()
-    edges = match_edges(sigs, config)
+
+    banded = sigs.map_batches(
+        band_emitter(config.signature()), batch_format="pyarrow", batch_size=None
+    )
+    cand = candidate_edges(banded, config.max_bucket_size).materialize()
+    n_cand = cand.count()
+    if mode == "auto":
+        mode = "driver" if n_cand <= config.cc_local_max_edges else "distributed"
+        logger.info("near_duplicates auto: %d candidates → %s path", n_cand, mode)
+
+    if mode == "driver":
+        out = _near_duplicates_driver_path(sigs, cand, config)
+        return _finalize_columns(out, keep_columns)
+
+    distinct = dedupe_edges(cand).materialize()
+    edges = verify_edges(distinct, sigs, config).materialize()
     if edges.count() == 0:
         clusters = ray.data.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()),
@@ -230,7 +390,4 @@ def near_duplicates(
             edges, method=config.cc_method, local_max_edges=config.cc_local_max_edges
         )
     out = assign_clusters(sigs, clusters)
-    base = ["url", "warc_ts", "lang", "doc_id", "cluster_id", "is_canonical"]
-    cols = base + [c for c in (keep_columns or []) if c not in base]
-    have = out.schema().names
-    return out.select_columns([c for c in cols if c in have])
+    return _finalize_columns(out, keep_columns)

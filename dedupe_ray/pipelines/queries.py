@@ -314,10 +314,13 @@ def _doc_pages_batch(batch: pa.Table, expand_dups: bool, copies: int) -> pa.Tabl
             render(did, " ".join(toks0[int(j)] for j in perm), lang, f"copy{c}")
         if expand_dups and did % 5 == 0:
             toks = list(toks0)
-            rng = np.random.default_rng(did * 1_000_003 + 7)
-            n_edit = max(1, int(len(toks) * 0.04))
-            for j in rng.choice(max(1, len(toks)), size=min(n_edit, len(toks)), replace=False):
-                toks[int(j)] = f"v{did % 97}"
+            # short docs can't absorb even one token edit at Jaccard ≥ 0.5
+            # (1 of ~8 tokens kills 3 of ~6 shingles) → exact copy instead
+            if len(toks) >= 30:
+                rng = np.random.default_rng(did * 1_000_003 + 7)
+                n_edit = max(1, int(len(toks) * 0.04))
+                for j in rng.choice(len(toks), size=min(n_edit, len(toks)), replace=False):
+                    toks[int(j)] = f"v{did % 97}"
             render(did, " ".join(toks), lang, "variant")
 
     return pa.table(
@@ -358,7 +361,7 @@ def neardup_pages_minhash(sf_dir: str, copies: int = 1):
         batch_format="pyarrow",
     )
     out = near_duplicates(pages, NearDupConfig(algo="minhash"))
-    return out.sort("url")
+    return out  # row order is free (driver compare is order-insensitive)
 
 
 def neardup_pages_bench(sf_dir: str):
@@ -388,7 +391,7 @@ def neardup_docs_simhash(sf_dir: str):
 
     pages = ds.map_batches(_as_pages, batch_format="pyarrow", batch_size=4096)
     out = near_duplicates(pages, NearDupConfig(algo="simhash"), extract=False)
-    return out.sort("url")
+    return out
 
 
 def compare_lookup(sf_dir: str):

@@ -130,10 +130,12 @@ def _collect_edge_ids(edges: "ray.data.Dataset") -> np.ndarray:
 
 
 class _BroadcastVerifier:
-    """map_batches actor: verifies edge batches against broadcast signatures.
+    """Verifies edge batches against broadcast signatures.
 
-    ``ray.put`` once on the driver, ``ray.get`` once per actor in __init__ —
-    the broadcast-small-side pattern (SURVEY.md §2.5 D2)."""
+    ``ray.put`` once on the driver; ``ray.get`` per task is zero-copy out of
+    the local object store — the broadcast-small-side pattern
+    (SURVEY.md §2.5 D2). Used as a plain task function via ``partial`` so no
+    actor pool has to spin up for what is usually a small edge list."""
 
     def __init__(self, sig_ref, config: NearDupConfig):
         ids, simhash, minhash, texts = ray.get(sig_ref)
@@ -235,14 +237,8 @@ def verify_edges(
         all_texts = tbl.column("text").to_pylist()
         texts = [all_texts[int(i)] for i in order]
     sig_ref = ray.put((sorted_ids, simhash, minhash, texts))
-    # autoscaling pool starting at 1 actor: a fixed min-size pool could
-    # reserve every CPU and starve the upstream sort (deadlock on small
-    # clusters); (1, N) lets the executor balance the stages.
-    n_cpus = int(ray.cluster_resources().get("CPU", 4))
-    return edges.map_batches(
-        _BroadcastVerifier,
-        fn_constructor_args=(sig_ref, config),
-        batch_format="pyarrow",
-        batch_size=1 << 16,
-        concurrency=(1, max(2, min(8, n_cpus - 1))),
-    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        return _BroadcastVerifier(sig_ref, config)(batch)
+
+    return edges.map_batches(_verify, batch_format="pyarrow", batch_size=1 << 16)

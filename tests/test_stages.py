@@ -1,0 +1,183 @@
+"""Stage-level tests: ANN, multimodal plumbing, banding guarantees."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dedupe_ray.config import MinHashConfig, SimHashConfig
+
+
+def _embeddings_ds(ray_session, n=300, d=32, seed=9):
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float32()), d
+            ),
+        }
+    )
+    return ray.data.from_arrow(tbl), mat
+
+
+class TestBruteForceTopk:
+    def test_matches_numpy(self, ray_session):
+        from dedupe_ray.stages.ann import brute_force_topk
+
+        ds, mat = _embeddings_ds(ray_session)
+        q = mat[:3].astype(np.float64)
+        out = brute_force_topk(ds, q, k=5)
+        # numpy reference
+        m = mat.astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = qn @ mn.T
+        for qi in range(3):
+            order = np.lexsort((np.arange(len(mat)), -sims[qi]))[:5]
+            got = out.filter(pa.compute.equal(out.column("query_id"), qi))
+            assert got.column("vec_id").to_pylist() == order.tolist()
+            # rank 1 must be the query itself (similarity 1)
+            assert got.column("vec_id").to_pylist()[0] == qi
+
+    def test_partial_merge_across_blocks(self, ray_session):
+        """Result must be identical regardless of block structure."""
+        from dedupe_ray.stages.ann import brute_force_topk
+
+        ds, mat = _embeddings_ds(ray_session)
+        q = mat[:2].astype(np.float64)
+        a = brute_force_topk(ds, q, k=7)
+        b = brute_force_topk(ds.repartition(13), q, k=7)
+        assert a.equals(b)
+
+
+class TestSrpCodes:
+    def test_deterministic_and_similarity_preserving(self, ray_session):
+        from dedupe_ray.functions.metrics import hamming64
+        from dedupe_ray.stages.ann import srp_codes64
+
+        ds, mat = _embeddings_ds(ray_session, n=100, d=32)
+        t1 = pa.concat_tables(
+            list(srp_codes64(ds, 32).iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        ).sort_by("doc_id")
+        t2 = pa.concat_tables(
+            list(srp_codes64(ds, 32).iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        ).sort_by("doc_id")
+        assert t1.equals(t2)
+        codes = t1.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        # a perturbed copy of v0 has a much closer code than a random vector
+        v = mat[0] + 0.01 * np.random.default_rng(1).standard_normal(32).astype(np.float32)
+        planes = np.random.default_rng(777).standard_normal((32, 64)).astype(np.float32)
+        bits = (v @ planes > 0).astype(np.uint64)
+        code_v = np.uint64(0)
+        for b in range(64):
+            code_v |= bits[b] << np.uint64(b)
+        d_close = hamming64(codes[0], code_v)
+        d_rand = int(np.median(hamming64(codes[0], codes[1:])))
+        assert d_close < 10 < d_rand
+
+
+class TestMultimodal:
+    def test_fake_decode_pipeline(self, ray_session):
+        import ray.data
+
+        from dedupe_ray.stages.multimodal import MediaFeatureStage
+
+        tbl = pa.table(
+            {
+                "media_id": pa.array([1, 2, 3], pa.int64()),
+                "url": ["a", "b", "c"],
+                "media_type": ["image", "image", "audio"],
+                "payload": pa.array([b"xx", None, b"yy"], pa.binary()),
+                "width": pa.array([4, 4, 0], pa.int32()),
+                "height": pa.array([4, 4, 0], pa.int32()),
+                "duration_ms": pa.array([0, 0, 9], pa.int32()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        out = pa.concat_tables(
+            list(
+                ds.map_batches(
+                    MediaFeatureStage, batch_format="pyarrow", batch_size=2, concurrency=2
+                ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            )
+        ).sort_by("media_id")
+        assert out.column("decode_ok").to_pylist() == [True, False, True]
+        assert "payload" not in out.column_names
+        feats = out.column("features").to_pylist()
+        assert len(feats[0]) == MediaFeatureStage.FEATURE_DIM
+        # deterministic features
+        stage = MediaFeatureStage()
+        f1 = stage._decode_payload(b"xx", "image")
+        assert np.allclose(feats[0], f1)
+
+    def test_real_mode_is_explicit_stub(self):
+        from dedupe_ray.stages.multimodal import MediaFeatureStage
+
+        with pytest.raises(NotImplementedError):
+            MediaFeatureStage(mode="real")._decode_payload(b"x", "image")
+
+
+class TestBandingGuarantees:
+    def test_simhash_pigeonhole_recall(self, ray_session):
+        """Any pair within Hamming distance bands-1 MUST share a band key."""
+        from dedupe_ray.stages.banding import simhash_band_table
+
+        rng = np.random.default_rng(4)
+        cfg = SimHashConfig(bands=8, threshold=7)
+        base = rng.integers(0, 2**63, size=200, dtype=np.uint64)
+        # flip up to 7 random bits
+        flipped = base.copy()
+        for i in range(len(base)):
+            for b in rng.choice(64, size=int(rng.integers(0, 8)), replace=False):
+                flipped[i] ^= np.uint64(1) << np.uint64(b)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.arange(400, dtype=np.int64)),
+                "simhash": pa.array(np.concatenate([base, flipped]), pa.uint64()),
+            }
+        )
+        banded = simhash_band_table(tbl, cfg)
+        keys = banded.column("band_key").to_numpy(zero_copy_only=False)
+        ids = banded.column("doc_id").to_numpy(zero_copy_only=False)
+        for i in range(200):
+            k1 = set(keys[ids == i].tolist())
+            k2 = set(keys[ids == i + 200].tolist())
+            assert k1 & k2, f"pair {i} within radius shares no band"
+
+    def test_minhash_band_keys_deterministic(self, ray_session):
+        from dedupe_ray.functions.minhash import MinHasher
+        from dedupe_ray.stages.banding import minhash_band_table
+
+        cfg = MinHashConfig()
+        mh = MinHasher(cfg.num_perms, cfg.shingle_size, cfg.seed)
+        sigs = mh.batch_signatures(["one two three four five", "six seven eight nine ten"])
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1), pa.uint32()), cfg.num_perms
+                ),
+            }
+        )
+        a = minhash_band_table(tbl, cfg)
+        b = minhash_band_table(tbl, cfg)
+        assert a.equals(b)
+        assert a.num_rows == 2 * cfg.bands
+        # identical signatures → identical band keys
+        tbl2 = pa.table(
+            {
+                "doc_id": pa.array([3, 4], pa.int64()),
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.concatenate([sigs[0], sigs[0]]), pa.uint32()), cfg.num_perms
+                ),
+            }
+        )
+        c = minhash_band_table(tbl2, cfg)
+        k3 = c.filter(pa.compute.equal(c.column("doc_id"), 3)).column("band_key")
+        k4 = c.filter(pa.compute.equal(c.column("doc_id"), 4)).column("band_key")
+        assert k3.to_pylist() == k4.to_pylist()
