@@ -50,6 +50,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": Q.quality_docs,
         "fingerprint_docs": Q.fingerprint_docs,
         "media_features": Q.media_features,
+        "neardup_docs_ngram_jaccard": Q.neardup_docs_ngram_jaccard,
+        "ann_srp_topk": Q.ann_srp_topk,
+        "cluster_groups": Q.cluster_groups,
     }
 
 

@@ -481,3 +481,147 @@ def media_features(sf_dir: str):
         MediaFeatureStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
     )
     return out.select_columns(["media_id", "decode_ok"]).sort("media_id")
+
+
+def neardup_docs_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
+    """Near-dup clusters with EXACT word-shingle Jaccard verification:
+    minhash-LSH proposes candidates distributedly; the (small) candidate
+    slice is verified against the exact set Jaccard of 3-shingles — the
+    precision-first variant when estimate noise is unacceptable."""
+    from dedupe_ray.functions.hashing import hash_tokens, shingle_hashes
+    from dedupe_ray.functions.metrics import jaccard_exact
+    from dedupe_ray.functions.text import normalize_tokens
+    from dedupe_ray.pipelines.neardup import signatures_dataset
+    from dedupe_ray.stages.banding import band_emitter
+    from dedupe_ray.stages.candidates import candidate_edges
+    from dedupe_ray.stages.clustering import union_find_local
+
+    cfg = NearDupConfig(algo="minhash")
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _as_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {"url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+             "text": batch.column("text")}
+        )
+
+    rows = docs.map_batches(_as_rows, batch_format="pyarrow", batch_size=None)
+    sigs = signatures_dataset(rows, cfg, extract=False).materialize()
+    banded = sigs.map_batches(band_emitter(cfg.minhash), batch_format="pyarrow",
+                              batch_size=None)
+    cand = candidate_edges(banded, cfg.max_bucket_size).materialize()
+    parts = list(cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if not parts:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "cluster_id": pa.array([], pa.int64())})
+    cand_tbl = pa.concat_tables(parts)
+    pairs = np.unique(
+        np.stack([cand_tbl.column("src").to_numpy(zero_copy_only=False),
+                  cand_tbl.column("dst").to_numpy(zero_copy_only=False)], axis=1),
+        axis=0,
+    )
+    want = np.unique(pairs.reshape(-1))
+    want_ref = ray.put(want)
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        mask = np.isin(batch.column("doc_id").to_numpy(zero_copy_only=False), w)
+        return batch.select(["doc_id", "url", "text"]).filter(pa.array(mask))
+
+    slim = pa.concat_tables(
+        list(sigs.map_batches(_slim, batch_format="pyarrow", batch_size=None)
+             .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    shingles = {}
+    for did, text in zip(slim.column("doc_id").to_pylist(), slim.column("text").to_pylist()):
+        toks = normalize_tokens(text or "")
+        shingles[did] = set(shingle_hashes(hash_tokens(toks), cfg.minhash.shingle_size).tolist())
+    keep = [jaccard_exact(shingles[s], shingles[d]) >= threshold for s, d in pairs.tolist()]
+    verified = pairs[np.asarray(keep, dtype=bool)] if len(pairs) else pairs
+    cl = union_find_local(
+        pa.table({"src": pa.array(verified[:, 0], pa.int64()),
+                  "dst": pa.array(verified[:, 1], pa.int64())})
+    )
+    root = dict(zip(cl.column("doc_id").to_pylist(), cl.column("cluster_id").to_pylist()))
+    urls = slim.column("url").to_pylist()
+    dids = slim.column("doc_id").to_pylist()
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "cluster_id": pa.array([root.get(d, d) for d in dids], pa.int64()),
+        }
+    ).sort_by("url")
+
+
+def ann_srp_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """LSH-bucketed ANN (scale path) — same queries as ``embedding_topk``."""
+    from dedupe_ray.stages.ann import srp_bucket_topk
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = pa.concat_tables(
+        list(
+            ds.map_batches(
+                lambda b: b.filter(pc.less(b.column("vec_id"), n_queries)),
+                batch_format="pyarrow",
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    ).sort_by("vec_id")
+    qmat = (
+        q.column("embedding").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .astype(np.float64).reshape(n_queries, -1)
+    )
+    out = srp_bucket_topk(ds, qmat, dim=qmat.shape[1], k=k, hamming_radius=24)
+    qids = q.column("vec_id").to_numpy(zero_copy_only=False)
+    mapped = pa.array(qids[out.column("query_id").to_numpy(zero_copy_only=False)], pa.int64())
+    return out.set_column(0, "query_id", mapped).select(["query_id", "rank", "vec_id"])
+
+
+def cluster_groups(sf_dir: str):
+    """Grouped duplicate export — the reference's CSV one-row-per-group sink
+    (K1, /root/reference/cmd/dedupe/main.go:194-206) as a table of
+    (cluster_id, n_members, member_urls sorted list), dup clusters only."""
+    out = neardup_pages_minhash(sf_dir).materialize()
+
+    # pass 1: the set of cluster ids that actually have members (small)
+    def _cids(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.not_equal(batch.column("cluster_id"), batch.column("doc_id"))
+        return pa.table(
+            {"cluster_id": batch.filter(mask).column("cluster_id").unique()}
+        )
+
+    cid_parts = list(
+        out.map_batches(_cids, batch_format="pyarrow", batch_size=None).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    )
+    dup_cids = (
+        np.unique(pa.concat_tables(cid_parts).column("cluster_id").to_numpy(zero_copy_only=False))
+        if cid_parts
+        else np.zeros(0, np.int64)
+    )
+    cid_ref = ray.put(dup_cids)
+
+    # pass 2: members = every row whose cluster_id is in that set (roots incl.)
+    def _members(batch: pa.Table) -> pa.Table:
+        cids = ray.get(cid_ref)
+        mask = np.isin(batch.column("cluster_id").to_numpy(zero_copy_only=False), cids)
+        return batch.select(["cluster_id", "url"]).filter(pa.array(mask))
+
+    tbl = pa.concat_tables(
+        list(
+            out.map_batches(_members, batch_format="pyarrow", batch_size=None).iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        )
+    )
+    df = tbl.to_pandas()
+    g = df.sort_values("url").groupby("cluster_id")["url"].agg(list).reset_index()
+    g["n_members"] = g["url"].map(len)
+    return pa.table(
+        {
+            "cluster_id": pa.array(g["cluster_id"], pa.int64()),
+            "n_members": pa.array(g["n_members"], pa.int64()),
+            "member_urls": pa.array(g["url"], pa.list_(pa.string())),
+        }
+    )

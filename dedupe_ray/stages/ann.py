@@ -24,7 +24,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-__all__ = ["brute_force_topk", "srp_codes64", "embedding_neardup_edges"]
+__all__ = ["brute_force_topk", "srp_bucket_topk", "srp_codes64", "embedding_neardup_edges"]
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -135,6 +135,97 @@ def srp_codes64(
         return out
 
     return embeddings.map_batches(_code, batch_format="pyarrow", batch_size=4096)
+
+
+def srp_bucket_topk(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    dim: int,
+    k: int = 10,
+    hamming_radius: int = 16,
+    seed: int = 777,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """LSH-bucketed approximate top-k — the scale path of ``brute_force_topk``.
+
+    Corpus vectors get 64-bit SRP codes; a query only exactly-rescoreS the
+    vectors whose code lies within ``hamming_radius`` of its own code (the
+    candidate set shrinks exponentially with the radius). Same output schema
+    as ``brute_force_topk``; recall is tunable via the radius.
+    """
+    from dedupe_ray.functions.metrics import hamming64
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, 64)).astype(np.float32)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_proj = q @ planes
+    q_bits = (q_proj > 0).astype(np.uint64)
+    q_codes = np.zeros(len(q), dtype=np.uint64)
+    for b in range(64):
+        q_codes |= q_bits[:, b] << np.uint64(b)
+    ref = ray.put((planes, q.astype(np.float64), q_codes))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pl, qm, qc = ray.get(ref)
+        mat = _normalize(_batch_matrix(batch, vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        proj = mat @ pl
+        bits = (proj > 0).astype(np.uint64)
+        codes = np.zeros(len(mat), dtype=np.uint64)
+        for b in range(64):
+            codes |= bits[:, b] << np.uint64(b)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qc)):
+            cand = np.flatnonzero(hamming64(codes, qc[qi]) <= hamming_radius)
+            if len(cand) == 0:
+                continue
+            sims = mat[cand].astype(np.float64) @ qm[qi]
+            kk = min(k, len(cand))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(ids[cand[top]])
+            out_s.append(sims[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "similarity": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "similarity": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            embeddings.map_batches(_partial, batch_format="pyarrow", batch_size=4096)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "similarity": pa.array([], pa.float64())})]
+    )
+    qid = parts.column("query_id").to_numpy(zero_copy_only=False)
+    vid = parts.column("vec_id").to_numpy(zero_copy_only=False)
+    sim = parts.column("similarity").to_numpy(zero_copy_only=False)
+    out_q, out_r, out_v, out_s = [], [], [], []
+    for quid in np.unique(qid):
+        m = qid == quid
+        order = np.lexsort((vid[m], -sim[m]))[:k]
+        out_q.extend([int(quid)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_v.extend(vid[m][order].tolist())
+        out_s.extend(sim[m][order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "similarity": pa.array(out_s, pa.float64()),
+        }
+    )
 
 
 def embedding_neardup_edges(
