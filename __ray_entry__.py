@@ -39,6 +39,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": Q.events_user_stats,
         "events_hourly_window": Q.events_hourly_window,
         "distinct_mktsegment": Q.distinct_mktsegment,
+        "orders_lineitem_join": Q.orders_lineitem_join,
+        "top_lineitems_per_order": Q.top_lineitems_per_order,
+        "user_sessions": Q.user_sessions,
         "embedding_topk": Q.embedding_topk,
         # --- rows-only (not SQL-expressible) -------------------------------
         "neardup_pages_minhash": Q.neardup_pages_minhash,
@@ -105,6 +108,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
         ),
         "distinct_mktsegment": "SELECT DISTINCT c_mktsegment FROM customer",
+        "orders_lineitem_join": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "top_lineitems_per_order": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, "
+            "CAST(row_number() OVER (PARTITION BY l_orderkey "
+            "ORDER BY l_quantity DESC, l_linenumber) AS BIGINT) AS rank "
+            "FROM lineitem QUALIFY rank <= 2"
+        ),
+        "user_sessions": (
+            "WITH d AS (SELECT user_id, ts, "
+            "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap FROM events) "
+            "SELECT user_id, CAST(count(*) FILTER (WHERE gap IS NULL "
+            "OR gap > INTERVAL 30 MINUTE) AS BIGINT) AS n_sessions "
+            "FROM d GROUP BY user_id"
+        ),
         "embedding_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
             "WHERE vec_id < 5), "

@@ -50,12 +50,17 @@ class SimHashConfig:
     of ``64 // bands`` bits); by pigeonhole, any pair within Hamming distance
     ``bands - 1`` shares at least one band. Verification keeps pairs with
     Hamming distance <= ``threshold``.
+
+    Defaults follow Manku et al. (WWW'07, simhash web dedup): radius 3 with
+    4 × 16-bit bands. Wider bands matter at scale: random pairs collide in a
+    band with probability 2^-bits, so 16-bit bands give n²·4/2^17 spurious
+    candidates vs n²·8/2^9 for 8-bit bands — a 500× difference at any n.
     """
 
     name: str = "simhash"
     shingle_size: int = 3
-    bands: int = 8
-    threshold: int = 7  # Hamming radius; <= bands-1 guarantees 100% recall
+    bands: int = 4
+    threshold: int = 3  # Hamming radius; <= bands-1 guarantees 100% recall
     seed: int = 12345
 
     def __post_init__(self) -> None:

@@ -450,7 +450,7 @@ def embedding_neardup(sf_dir: str):
         )
 
     planted = ds.map_batches(_plant, batch_format="pyarrow", batch_size=4096)
-    edges = embedding_neardup_edges(planted, dim=64, hamming_threshold=8, bands=16)
+    edges = embedding_neardup_edges(planted, dim=64, hamming_threshold=7, bands=8)
     return edges.sort(["src", "dst"])
 
 
@@ -625,3 +625,78 @@ def cluster_groups(sf_dir: str):
             "member_urls": pa.array(g["url"], pa.list_(pa.string())),
         }
     )
+
+
+def orders_lineitem_join(sf_dir: str):
+    """Large-large distributed hash join via ``Dataset.join`` (both sides
+    shuffle-partitioned on the key) — the complement of the broadcast join in
+    ``orders_customers``."""
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return joined.select_columns(["l_orderkey", "l_linenumber", "l_quantity", "o_orderdate"])
+
+
+def top_lineitems_per_order(sf_dir: str):
+    """Window-function analog: top-2 lineitems per order by quantity
+    (rank over partition), vectorized over sorted blocks."""
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    ds = read_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def _topk(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block.append_column("rank", pa.array([], pa.int64()))
+        key = block.column("l_orderkey").to_numpy(zero_copy_only=False)
+        qty = block.column("l_quantity").to_numpy(zero_copy_only=False)
+        line = block.column("l_linenumber").to_numpy(zero_copy_only=False)
+        # within-block order: (key asc, qty desc, linenumber asc)
+        order = np.lexsort((line, -qty, key))
+        k_sorted = key[order]
+        # rank within each key group
+        starts = np.flatnonzero(np.r_[True, k_sorted[1:] != k_sorted[:-1]])
+        group_idx = np.cumsum(np.r_[True, k_sorted[1:] != k_sorted[:-1]]) - 1
+        rank = np.arange(len(k_sorted)) - starts[group_idx] + 1
+        keep = rank <= 2
+        out = block.take(pa.array(order[keep], pa.int64()))
+        return out.append_column("rank", pa.array(rank[keep], pa.int64()))
+
+    return sorted_group_apply(ds, "l_orderkey", _topk)
+
+
+def user_sessions(sf_dir: str):
+    """Sessionization (streaming-shaped stateful window): count sessions per
+    user with a 30-minute inactivity gap, computed vectorized over
+    (user_id, ts)-sorted blocks."""
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def _sessions(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        uid = block.column("user_id").to_numpy(zero_copy_only=False)
+        ts = block.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        # blocks are partitioned on user_id only (the group key must be the
+        # FULL sort key for the no-straddle guarantee) — order ts here
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        gap_us = 30 * 60 * 1_000_000
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap = np.r_[0, ts[1:] - ts[:-1]]
+        session_start = new_user | (gap > gap_us)
+        starts = np.flatnonzero(new_user)
+        counts = np.add.reduceat(session_start.astype(np.int64), starts)
+        return pa.table(
+            {"user_id": pa.array(uid[starts], pa.int64()),
+             "n_sessions": pa.array(counts, pa.int64())}
+        )
+
+    return sorted_group_apply(ds, "user_id", _sessions)

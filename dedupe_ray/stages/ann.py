@@ -249,7 +249,42 @@ def embedding_neardup_edges(
     )
     codes = srp_codes64(embeddings, dim, seed).materialize()
     banded = codes.map_batches(
-        lambda b: simhash_band_table(b, cfg.simhash), batch_format="pyarrow", batch_size=4096
+        lambda b: simhash_band_table(b, cfg.simhash), batch_format="pyarrow",
+        batch_size=None,
     )
-    distinct = dedupe_edges(candidate_edges(banded, max_bucket_size)).materialize()
+    cand = candidate_edges(banded, max_bucket_size).materialize()
+    if cand.count() <= 2_000_000:
+        # small candidate set → verify driver-side (one slim broadcast pass)
+        from dedupe_ray.functions.metrics import hamming64
+
+        parts = list(cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        if not parts:
+            return cand
+        tbl = pa.concat_tables(parts)
+        pairs = np.unique(
+            np.stack([tbl.column("src").to_numpy(zero_copy_only=False),
+                      tbl.column("dst").to_numpy(zero_copy_only=False)], axis=1),
+            axis=0,
+        )
+        sig_tbl = pa.concat_tables(
+            list(codes.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        )
+        ids = sig_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        sims = sig_tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids_s, sims_s = ids[order], sims[order]
+        d = hamming64(
+            sims_s[np.searchsorted(ids_s, pairs[:, 0])],
+            sims_s[np.searchsorted(ids_s, pairs[:, 1])],
+        )
+        keep = d <= hamming_threshold
+        out = pa.table(
+            {
+                "src": pa.array(pairs[keep, 0], pa.int64()),
+                "dst": pa.array(pairs[keep, 1], pa.int64()),
+                "score": pa.array(1.0 - np.asarray(d)[keep] / 64.0, pa.float64()),
+            }
+        )
+        return ray.data.from_arrow(out)
+    distinct = dedupe_edges(cand).materialize()
     return verify_edges(distinct, codes, cfg)

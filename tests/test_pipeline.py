@@ -75,10 +75,11 @@ class TestFlagshipSimHash:
         out = near_duplicates(ds, NearDupConfig(algo="simhash"))
         tbl = pa.concat_tables(list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
         m = pairwise_f1(tbl, fixture_small.labeled_pairs)
-        # simhash with hamming<=7 is conservative: high precision; recall
-        # catches at least the identical/near-identical transforms
+        # simhash at radius 3 (Manku web-dedup setting) is conservative:
+        # near-perfect precision; recall covers the token-stream-identical
+        # transforms (copy / whitespace / case) but not heavy token edits
         assert m["precision"] >= 0.99, m
-        assert m["recall"] >= 0.5, m
+        assert m["recall"] >= 0.25, m
 
 
 class TestLshRecall:
