@@ -31,7 +31,7 @@ from dedupe_ray.stages.groupapply import sorted_group_apply
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["candidate_edges", "dedupe_edges", "verify_edges"]
+__all__ = ["candidate_edges", "dedupe_edges", "verify_edges", "verify_edges_join"]
 
 _TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -242,3 +242,99 @@ def verify_edges(
         return _BroadcastVerifier(sig_ref, config)(batch)
 
     return edges.map_batches(_verify, batch_format="pyarrow", batch_size=1 << 16)
+
+
+def verify_edges_join(
+    edges: "ray.data.Dataset",
+    signatures: "ray.data.Dataset",
+    config: NearDupConfig,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Fully-distributed verification via two hash-partitioned joins — the
+    scale path for corpora where even the edge-involved signature slice
+    outgrows the driver/object-store broadcast (dup-heavy crawls).
+
+    edges ⋈ signatures ON src → ⋈ signatures ON dst, then the vectorized
+    metric filter. Each join shuffles the (small) edge list plus one pass of
+    the signature table partitioned on doc_id; the corpus text never moves.
+    """
+    cfg = config.signature()
+    is_simhash = isinstance(cfg, SimHashConfig)
+    sig_col = "simhash" if is_simhash else "minhash"
+    if is_simhash:
+        slim = signatures.select_columns(["doc_id", sig_col])
+    else:
+        # Acero's hash join rejects fixed_size_list payloads — pack the
+        # minhash signature into a binary column for the ride
+        num_perms_pack = config.minhash.num_perms
+
+        def _pack(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            flat = batch.column("minhash").combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            ).astype(np.uint32)
+            mat = flat.reshape(n, num_perms_pack)
+            blobs = [mat[i].tobytes() for i in range(n)]
+            return pa.table(
+                {"doc_id": batch.column("doc_id"),
+                 "minhash": pa.array(blobs, pa.binary())}
+            )
+
+        slim = signatures.map_batches(_pack, batch_format="pyarrow", batch_size=None)
+
+    j1 = edges.select_columns(["src", "dst"]).join(
+        slim,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        right_on=("doc_id",),
+        right_suffix="_src",
+    )
+    sig_src = sig_col if sig_col in j1.schema().names else f"{sig_col}_src"
+    j1 = j1.rename_columns({sig_col_name: "sig_src" for sig_col_name in [sig_src]})
+    j2 = j1.join(
+        slim,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("doc_id",),
+        right_suffix="_dst",
+    )
+    sig_dst = sig_col if sig_col in j2.schema().names else f"{sig_col}_dst"
+    j2 = j2.rename_columns({sig_col_name: "sig_dst" for sig_col_name in [sig_dst]})
+
+    if is_simhash:
+        threshold = cfg.threshold
+
+        def _score(batch: pa.Table) -> pa.Table:
+            a = batch.column("sig_src").to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = batch.column("sig_dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+            d = hamming64(a, b)
+            keep = d <= threshold
+            out = batch.select(["src", "dst"]).filter(pa.array(keep))
+            return out.append_column(
+                "score", pa.array(1.0 - np.asarray(d)[keep] / 64.0, pa.float64())
+            )
+
+    else:
+        threshold = cfg.threshold
+        num_perms = config.minhash.num_perms
+
+        def _score(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if n == 0:
+                return pa.table({"src": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            a = np.frombuffer(
+                b"".join(batch.column("sig_src").to_pylist()), dtype=np.uint32
+            ).reshape(n, num_perms)
+            b = np.frombuffer(
+                b"".join(batch.column("sig_dst").to_pylist()), dtype=np.uint32
+            ).reshape(n, num_perms)
+            eq = (a == b).mean(axis=1)
+            keep = eq >= threshold
+            out = batch.select(["src", "dst"]).filter(pa.array(keep))
+            return out.append_column("score", pa.array(eq[keep], pa.float64()))
+
+    return j2.map_batches(_score, batch_format="pyarrow", batch_size=1 << 14)
