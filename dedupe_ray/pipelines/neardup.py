@@ -263,12 +263,16 @@ def _near_duplicates_driver_path(
     want = np.unique(pairs.reshape(-1))
     want_ref = ray.put(want)
 
+    need_text = config.jaro_winkler_min is not None
+
     def _slim(batch: pa.Table) -> pa.Table:
         w = ray.get(want_ref)
         mask = np.isin(batch.column("doc_id").to_numpy(zero_copy_only=False), w)
         cols = ["doc_id", sig_col] + [
             c for c in ("warc_ts", "url") if c in batch.column_names
         ]
+        if need_text and "text" in batch.column_names:
+            cols.append("text")
         return batch.select(cols).filter(pa.array(mask))
 
     slim = pa.concat_tables(
@@ -295,6 +299,17 @@ def _near_duplicates_driver_path(
             flat = slim.column("minhash").combine_chunks().flatten().to_numpy(zero_copy_only=False)
             mh = flat.reshape(slim.num_rows, config.minhash.num_perms)[order]
             keep = (mh[ia] == mh[ib]).mean(axis=1) >= cfg.threshold
+        if need_text and "text" in slim.column_names:
+            from dedupe_ray.functions.metrics import jaro_winkler
+
+            texts_all = slim.column("text").to_pylist()
+            texts_s = [texts_all[int(i)] for i in order]
+            jw_min = config.jaro_winkler_min
+            for k in np.flatnonzero(keep):
+                t1 = (texts_s[ia[k]] or "")[:512]
+                t2 = (texts_s[ib[k]] or "")[:512]
+                if jaro_winkler(t1, t2) < jw_min:
+                    keep[k] = False
         verified = pairs[keep]
 
     # --- cluster (driver union-find) + canonical ---------------------------

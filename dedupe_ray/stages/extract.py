@@ -36,17 +36,25 @@ class ExtractText:
 
     def __init__(self, html_col: str = "html", text_col: str = "text",
                  overwrite: bool = True, drop_html: bool = True,
-                 mint_ids: bool = True):
+                 mint_ids: bool = True, mark_quarantine: bool = False):
         self.html_col = html_col
         self.text_col = text_col
         self.overwrite = overwrite
         self.drop_html = drop_html
         self.mint_ids = mint_ids
+        self.mark_quarantine = mark_quarantine
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.html_col).to_pylist()
         texts = extract_text_batch(p if p is not None else b"" for p in payloads)
         arr = pa.array(texts, pa.string())
+        if self.mark_quarantine:
+            # quarantine marker instead of job failure (drop-and-continue,
+            # /root/reference/dedupe.go:55-58): null/empty payload or an
+            # extraction that yielded no text → extract_ok = False; the row
+            # survives so a downstream filter / quarantine sink can route it
+            ok = [bool(p) and bool(t) for p, t in zip(payloads, texts)]
+            batch = batch.append_column("extract_ok", pa.array(ok, pa.bool_()))
         if self.text_col in batch.column_names:
             if self.overwrite:
                 batch = batch.set_column(

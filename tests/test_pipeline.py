@@ -237,3 +237,51 @@ class TestCompare:
         # an out-of-corpus gibberish target matches nothing
         out2 = compare(sigs, "zqx vbn mlp " * 40, cfg)
         assert out2.count() == 0
+
+
+class TestJaroWinklerConfirm:
+    def test_jw_gate_filters_pairs(self, ray_session, fixture_small):
+        """With an absurdly high JW requirement every near-dup pair (except
+        text-identical ones) is rejected — proves the confirm stage is live
+        on the driver path."""
+        from dedupe_ray.pipelines.neardup import near_duplicates
+
+        ds = _pages_ds(ray_session, fixture_small)
+        strict = near_duplicates(
+            ds, NearDupConfig(algo="minhash", jaro_winkler_min=0.999999)
+        )
+        loose = near_duplicates(ds, NearDupConfig(algo="minhash"))
+        import pandas as pd
+
+        def n_dup_rows(out):
+            df = pa.concat_tables(
+                list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+            ).to_pandas()
+            return int((df["cluster_id"] != df["doc_id"]).sum())
+
+        assert n_dup_rows(strict) < n_dup_rows(loose)
+
+
+class TestQuarantine:
+    def test_extract_ok_marker(self, ray_session):
+        import ray.data
+
+        from dedupe_ray.stages.extract import ExtractText
+
+        tbl = pa.table(
+            {
+                "url": ["a", "b", "c"],
+                "html": pa.array([b"<p>fine</p>", None, b"<script>x</script>"], pa.binary()),
+            }
+        )
+        out = pa.concat_tables(
+            list(
+                ray.data.from_arrow(tbl)
+                .map_batches(
+                    lambda b: ExtractText(mark_quarantine=True)(b), batch_format="pyarrow"
+                )
+                .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            )
+        ).sort_by("url")
+        assert out.column("extract_ok").to_pylist() == [True, False, False]
+        assert out.num_rows == 3  # rows survive; job continues
