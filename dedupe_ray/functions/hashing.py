@@ -74,6 +74,53 @@ def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
     return acc
 
 
+def shingle_hashes_flat(
+    flat_hashes: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-vectorized ``shingle_hashes``: one call for a whole batch.
+
+    ``flat_hashes`` concatenates every document's token hashes; ``lens`` is
+    the token count per document. Returns (flat_shingles, offsets) where
+    ``offsets`` (len n_docs+1) delimits each document's shingles. Produces
+    EXACTLY the same values as per-doc ``shingle_hashes`` (tests enforce it);
+    docs shorter than ``k`` (including empty) fall back to the per-doc path —
+    a loop over only those docs.
+    """
+    n_docs = len(lens)
+    lens = np.asarray(lens, dtype=np.int64)
+    counts = np.where(lens >= k, lens - k + 1, 1)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    out = np.empty(offsets[-1], dtype=np.uint64)
+
+    T = len(flat_hashes)
+    if T and k <= T:
+        # global sliding accumulate over the flat array; a window starting at
+        # position i is a real shingle iff it doesn't cross a doc boundary
+        with np.errstate(over="ignore"):
+            acc = np.zeros(T - k + 1, dtype=np.uint64)
+            for j in range(k):
+                acc = acc + flat_hashes[j : T - k + 1 + j] * _MIX[j % len(_MIX)]
+            acc ^= acc >> np.uint64(30)
+            acc *= np.uint64(0xBF58476D1CE4E5B9)
+            acc ^= acc >> np.uint64(27)
+            acc *= np.uint64(0x94D049BB133111EB)
+            acc ^= acc >> np.uint64(31)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        valid = doc_idx[: T - k + 1] == doc_idx[k - 1 :]
+        # valid windows appear in doc order, so they map 1:1 onto the output
+        # slots of the long (len >= k) docs
+        long_slots = np.repeat(lens >= k, counts)
+        out[long_slots] = acc[valid]
+    # short + empty docs: per-doc fallback (rare)
+    tok_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=tok_offsets[1:])
+    for d in np.flatnonzero(lens < k):
+        sh = shingle_hashes(flat_hashes[tok_offsets[d] : tok_offsets[d + 1]], k)
+        out[offsets[d] : offsets[d + 1]] = sh
+    return out, offsets
+
+
 def hash_url(url: str) -> int:
     """Deterministic int64 (non-negative) doc id from a url.
 

@@ -33,19 +33,24 @@ def simhash_from_flat(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """SimHash per document from a flattened shingle-hash array.
 
     ``flat`` concatenates every document's shingle hashes; ``offsets`` (len
-    n_docs+1) delimits each document. One ``np.add.reduceat`` per run instead
-    of a Python loop per doc — this is the batch hot path.
+    n_docs+1) delimits each document. 64 CONTIGUOUS 1-D shift/mask/reduceat
+    passes with a reused buffer — numpy's uint64 2-D broadcast path is ~50×
+    slower (scalar inner loop + per-op temps), so this shape matters.
     """
     n_docs = len(offsets) - 1
-    if len(flat) == 0:
+    if len(flat) == 0 or n_docs == 0:
         return np.zeros(n_docs, dtype=np.uint64)
-    bits = ((flat[:, None] >> _BITS) & np.uint64(1)).astype(np.int64)
-    sums = np.add.reduceat(bits, offsets[:-1].astype(np.int64), axis=0)
-    # reduceat with repeated indices (empty docs) returns the row at the index;
-    # empty docs are impossible here because shingle_hashes never returns [].
-    lens = np.diff(offsets).astype(np.int64)
-    sig = np.where(sums * 2 > lens[:, None], np.uint64(1) << _BITS, np.uint64(0))
-    return np.bitwise_or.reduce(sig, axis=1)
+    idx = offsets[:-1].astype(np.int64)
+    lens = np.diff(offsets).astype(np.uint64)
+    sig = np.zeros(n_docs, dtype=np.uint64)
+    buf = np.empty_like(flat)
+    one = np.uint64(1)
+    for bit in range(64):
+        np.right_shift(flat, np.uint64(bit), out=buf)
+        buf &= one
+        counts = np.add.reduceat(buf, idx)
+        sig |= (counts * np.uint64(2) > lens).astype(np.uint64) << np.uint64(bit)
+    return sig
 
 
 def simhash64(text: str, shingle_size: int = 3, cache: dict | None = None) -> int:

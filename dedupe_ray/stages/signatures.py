@@ -41,16 +41,19 @@ class SignatureStage:
         self.simhash_k = self.config.simhash.shingle_size
 
     def _shingles_flat(self, texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
-        parts, total = [], 0
-        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = normalize_tokens(t or "")
-            sh = shingle_hashes(hash_tokens(toks, self.token_cache), k)
-            parts.append(sh)
-            total += len(sh)
-            offsets[i + 1] = total
-        flat = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint64)
-        return flat, offsets
+        """Batch-vectorized: tokenize per doc (regex, unavoidable Python),
+        hash ALL tokens in one memoized pass, then one global sliding-window
+        shingle computation (``shingle_hashes_flat``) instead of per-doc
+        numpy calls."""
+        from dedupe_ray.functions.hashing import shingle_hashes_flat
+
+        token_lists = [normalize_tokens(t or "") for t in texts]
+        lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+        all_tokens: list[str] = []
+        for tl in token_lists:
+            all_tokens.extend(tl)
+        flat_tok = hash_tokens(all_tokens, self.token_cache)
+        return shingle_hashes_flat(flat_tok, lens, k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()

@@ -204,3 +204,47 @@ class TestFingerprint:
 
     def test_empty(self):
         assert len(winnow_fingerprint("")) == 0
+
+
+class TestShingleFlatEquivalence:
+    def test_flat_matches_per_doc(self):
+        """shingle_hashes_flat must produce byte-identical values to the
+        per-doc shingle_hashes for every doc-length class (long/short/empty)."""
+        from dedupe_ray.functions.hashing import shingle_hashes_flat
+
+        rng = np.random.default_rng(17)
+        docs = []
+        for n in [0, 1, 2, 3, 4, 10, 50, 0, 2, 100]:
+            docs.append(rng.integers(0, 2**63, size=n, dtype=np.uint64))
+        for k in (1, 2, 3, 5):
+            flat = np.concatenate(docs) if docs else np.zeros(0, np.uint64)
+            lens = np.array([len(d) for d in docs], dtype=np.int64)
+            got_flat, got_off = shingle_hashes_flat(flat, lens, k)
+            for i, d in enumerate(docs):
+                want = shingle_hashes(d, k)
+                got = got_flat[got_off[i] : got_off[i + 1]]
+                assert np.array_equal(got, want), (k, i)
+
+    def test_stage_matches_scalar_kernels(self):
+        """SignatureStage batch output == scalar simhash64/MinHasher output."""
+        import pyarrow as pa
+
+        from dedupe_ray.config import NearDupConfig
+        from dedupe_ray.functions.minhash import MinHasher
+        from dedupe_ray.functions.simhash import simhash64
+        from dedupe_ray.stages.signatures import SignatureStage
+
+        texts = ["the quick brown fox jumps over the dog", "a b", "", "one one one one",
+                 "x " * 200]
+        tbl = pa.table({"url": [f"u{i}" for i in range(len(texts))], "text": texts,
+                        "doc_id": pa.array(list(range(len(texts))), pa.int64())})
+        cfg = NearDupConfig()
+        stage = SignatureStage(cfg, emit_simhash=True, emit_minhash=True)
+        out = stage(tbl)
+        mh = MinHasher(cfg.minhash.num_perms, cfg.minhash.shingle_size, cfg.minhash.seed)
+        for i, t in enumerate(texts):
+            assert int(out.column("simhash")[i].as_py()) == simhash64(t, cfg.simhash.shingle_size)
+            assert np.array_equal(
+                np.asarray(out.column("minhash")[i].as_py(), dtype=np.uint32),
+                mh.text_signature(t),
+            )
