@@ -40,10 +40,9 @@ def _consume(result) -> int:
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
-        n = 0
-        for b in result.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-            n += b.num_rows
-        return n
+        # count() executes the full pipeline but keeps blocks in the object
+        # store — we measure the pipeline, not driver-side row transfer
+        return result.count()
     if isinstance(result, pa.Table):
         return result.num_rows
     return len(result)
@@ -113,6 +112,7 @@ def run_scaling() -> dict:
     for ncpu in (lo, lo * 4):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    GRAFT_BENCH_ONLY=HEADLINE)
+        env.setdefault("GRAFT_BENCH_COPIES", "100")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -365,9 +365,14 @@ def neardup_pages_minhash(sf_dir: str, copies: int = 1):
 
 
 def neardup_pages_bench(sf_dir: str):
-    """Compute-bound flagship workload: ×10 corpus expansion (50k+ pages at
-    sf0.1) — the headline benchmark & scaling-efficiency job."""
-    return neardup_pages_minhash(sf_dir, copies=10)
+    """Compute-bound flagship workload: ×N corpus expansion (default ×10 →
+    50k+ pages at sf0.1) — the headline benchmark & scaling-efficiency job.
+    ``GRAFT_BENCH_COPIES`` scales the corpus (scaling runs use a larger one
+    so per-execution fixed costs don't masquerade as serial fraction)."""
+    import os
+
+    copies = int(os.environ.get("GRAFT_BENCH_COPIES", "10"))
+    return neardup_pages_minhash(sf_dir, copies=copies)
 
 
 def neardup_docs_simhash(sf_dir: str):
