@@ -38,10 +38,22 @@ def _init_ray(num_cpus: int | None):
 
 
 def _expand(paths: list[str]) -> list[str]:
+    """Expand globs; ``-`` reads a whitespace-separated path manifest from
+    stdin (pipelining mode, mirroring /root/reference/cmd/dedupe/main.go:110-117)."""
+    import os
+
     out: list[str] = []
     for p in paths:
+        if p == "-":
+            out.extend(sys.stdin.read().split())
+            continue
         hits = sorted(glob.glob(p))
         out.extend(hits if hits else [p])
+    missing = [p for p in out if not os.path.exists(p)]
+    if missing:
+        raise SystemExit(f"error: input path(s) not found: {', '.join(missing[:5])}")
+    if not out:
+        raise SystemExit("error: no input paths")
     return out
 
 
@@ -77,6 +89,24 @@ def cmd_dedup(args) -> int:
             batch_format="pyarrow",
         ).write_parquet(f"{args.output}/survivors")
         metrics["survivors"] = {"path": f"{args.output}/survivors"}
+    if args.write_groups_csv:
+        # the reference's CSV sink: one row per duplicate group
+        # (/root/reference/cmd/dedupe/main.go:194-206) — cluster_id, n, urls…
+        import csv
+
+        import duckdb
+
+        rows = duckdb.sql(
+            "SELECT cluster_id, list(url ORDER BY url) AS urls FROM "
+            f"read_parquet('{args.output}/assignment/*.parquet') "
+            "GROUP BY cluster_id HAVING count(*) >= 2 ORDER BY cluster_id"
+        ).fetchall()
+        path = f"{args.output}/groups.csv"
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            for cid, urls in rows:
+                w.writerow([cid, len(urls), *urls])
+        metrics["groups_csv"] = {"path": path, "groups": len(rows)}
     print(json.dumps(metrics, indent=2))
     return 0
 
@@ -145,6 +175,8 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("dedup", parents=[common])
     d.add_argument("--output", required=True)
     d.add_argument("--keep-canonical-only", action="store_true")
+    d.add_argument("--write-groups-csv", action="store_true",
+                   help="also write one-CSV-row-per-duplicate-group (reference K1 sink)")
     d.set_defaults(fn=cmd_dedup)
 
     c = sub.add_parser("compare", parents=[common])

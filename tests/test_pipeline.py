@@ -285,3 +285,36 @@ class TestQuarantine:
         ).sort_by("url")
         assert out.column("extract_ok").to_pylist() == [True, False, False]
         assert out.num_rows == 3  # rows survive; job continues
+
+
+class TestDistributedMode:
+    def test_distributed_path_matches_driver_path(self, ray_session, fixture_small):
+        """mode='distributed' (join-free broadcast verify + star-contraction
+        CC + distributed canonical) must produce the same clusters as the
+        driver fast path — the 100TB path is not allowed to drift."""
+        from dedupe_ray.pipelines.neardup import near_duplicates
+
+        ds = _pages_ds(ray_session, fixture_small)
+        cfg = NearDupConfig(algo="minhash", cc_method="distributed")
+        a = pa.concat_tables(
+            list(
+                near_duplicates(ds, cfg, mode="distributed").iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                )
+            )
+        )
+        b = pa.concat_tables(
+            list(
+                near_duplicates(ds, NearDupConfig(algo="minhash"), mode="driver").iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                )
+            )
+        )
+        da = dict(zip(a.column("url").to_pylist(), a.column("cluster_id").to_pylist()))
+        db = dict(zip(b.column("url").to_pylist(), b.column("cluster_id").to_pylist()))
+        assert da == db
+        ca = dict(zip(a.column("url").to_pylist(), a.column("is_canonical").to_pylist()))
+        cb = dict(zip(b.column("url").to_pylist(), b.column("is_canonical").to_pylist()))
+        assert ca == cb
+        m = pairwise_f1(a, fixture_small.labeled_pairs)
+        assert m["f1"] >= 0.99, m
