@@ -89,6 +89,35 @@ def cmd_dedup(args) -> int:
             batch_format="pyarrow",
         ).write_parquet(f"{args.output}/survivors")
         metrics["survivors"] = {"path": f"{args.output}/survivors"}
+    if args.partition_by_cluster:
+        # the -move analog (/root/reference/utils/file.go:63-71, caller
+        # cmd/dedupe/main.go:208-216): materialize duplicate-cluster members
+        # into one directory per cluster. Only DUP clusters are written
+        # (bounded set), mirroring the reference's group<i>/ directories.
+        import pyarrow.compute as pc
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{args.output}/assignment")
+        dup = ds.map_batches(
+            lambda b: b.filter(pc.not_equal(b.column("cluster_id"), b.column("doc_id"))),
+            batch_format="pyarrow",
+        )
+        import numpy as np
+        import ray as _ray
+
+        dup_cids = np.sort(np.asarray(dup.unique("cluster_id"), dtype=np.int64))
+        cid_ref = _ray.put(dup_cids)
+
+        def _members(b):
+            cids = _ray.get(cid_ref)
+            mask = np.isin(b.column("cluster_id").to_numpy(zero_copy_only=False), cids)
+            import pyarrow as _pa
+
+            return b.filter(_pa.array(mask))
+
+        members = ds.map_batches(_members, batch_format="pyarrow")
+        members.write_parquet(f"{args.output}/groups", partition_cols=["cluster_id"])
+        metrics["groups_dir"] = {"path": f"{args.output}/groups", "clusters": int(len(dup_cids))}
     if args.write_groups_csv:
         # the reference's CSV sink: one row per duplicate group
         # (/root/reference/cmd/dedupe/main.go:194-206) — cluster_id, n, urls…
@@ -177,6 +206,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--keep-canonical-only", action="store_true")
     d.add_argument("--write-groups-csv", action="store_true",
                    help="also write one-CSV-row-per-duplicate-group (reference K1 sink)")
+    d.add_argument("--partition-by-cluster", action="store_true",
+                   help="materialize duplicate clusters as one directory per cluster (reference -move analog)")
     d.set_defaults(fn=cmd_dedup)
 
     c = sub.add_parser("compare", parents=[common])
