@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "orders_customers",
     "embedding_topk",
     "embedding_neardup",
+    "orders_lineitem_join",
+    "user_sessions",
 ]
 HEADLINE = "neardup_pages_bench"
 

@@ -153,7 +153,12 @@ def cmd_compare(args) -> int:
     if args.target_text is not None:
         target = args.target_text
     else:
-        hit = sigs.filter(lambda r: r["url"] == args.target_url).take(1)
+        import pyarrow.compute as pc
+
+        hit = sigs.map_batches(
+            lambda b: b.filter(pc.equal(b.column("url"), args.target_url)),
+            batch_format="pyarrow",
+        ).take(1)
         if not hit:
             print(f"error: target url {args.target_url!r} not in corpus", file=sys.stderr)
             return 2

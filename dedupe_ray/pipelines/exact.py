@@ -48,19 +48,14 @@ def exact_dedup(
         if block.num_rows == 0:
             return block
         keys = np.asarray(block.column("content_hash").to_pylist(), dtype=object)
-        _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
-        picks = []
+        # fully vectorized keep-first: lexsort rows by (key, *order_cols) and
+        # take the first row of each key run — no per-group Python
         order_arrays = [
-            np.asarray(block.column(c).to_pylist(), dtype=object) for c in order_cols
+            block.column(c).to_numpy(zero_copy_only=False) for c in reversed(order_cols)
         ]
-        for s, c in zip(starts, counts):
-            if c == 1:
-                picks.append(s)
-            else:
-                best = min(
-                    range(s, s + c), key=lambda i: tuple(arr[i] for arr in order_arrays)
-                )
-                picks.append(best)
-        return block.take(pa.array(sorted(picks), pa.int64()))
+        order = np.lexsort((*order_arrays, keys))
+        sorted_keys = keys[order]
+        first = np.r_[True, sorted_keys[1:] != sorted_keys[:-1]]
+        return block.take(pa.array(np.sort(order[first]), pa.int64()))
 
     return sorted_group_apply(hashed, "content_hash", _first_block)
