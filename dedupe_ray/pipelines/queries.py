@@ -638,10 +638,13 @@ def orders_lineitem_join(sf_dir: str):
     ``orders_customers``."""
     li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    # num_partitions sizes the hash-shuffle aggregator pool: each partition
+    # is a long-lived aggregating actor, so size to data/cluster (8 ≈ right
+    # for 600k rows on one node; a real cluster uses cores × nodes)
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=8,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

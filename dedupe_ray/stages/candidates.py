@@ -248,7 +248,7 @@ def verify_edges_join(
     edges: "ray.data.Dataset",
     signatures: "ray.data.Dataset",
     config: NearDupConfig,
-    num_partitions: int = 32,
+    num_partitions: int = 8,
 ) -> "ray.data.Dataset":
     """Fully-distributed verification via two hash-partitioned joins — the
     scale path for corpora where even the edge-involved signature slice
