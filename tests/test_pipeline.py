@@ -318,3 +318,47 @@ class TestDistributedMode:
         assert ca == cb
         m = pairwise_f1(a, fixture_small.labeled_pairs)
         assert m["f1"] >= 0.99, m
+
+
+class TestIncrementalMatch:
+    def test_new_batch_vs_corpus(self, ray_session, fixture_small):
+        """Split the fixture: clusters whose base is in the corpus and whose
+        variants arrive as the increment must be flagged duplicate_of; fresh
+        singletons must come back fresh (null)."""
+        import ray.data
+
+        from dedupe_ray.pipelines.incremental import incremental_match
+        from dedupe_ray.pipelines.neardup import signatures_dataset
+
+        cfg = NearDupConfig(algo="minhash")
+        pages = fixture_small.pages
+        truth = fixture_small.truth.to_pydict()
+        transform_by_url = dict(zip(truth["url"], truth["transform"]))
+        is_variant = pa.array(
+            [transform_by_url[u] in ("copy", "ws_jitter", "case_jitter", "extend")
+             for u in pages.column("url").to_pylist()]
+        )
+        new_tbl = pages.filter(is_variant)
+        corpus_tbl = pages.filter(pa.compute.invert(is_variant))
+        corpus_sigs = signatures_dataset(
+            ray.data.from_arrow(corpus_tbl), cfg, extract=False
+        ).materialize()
+        out = incremental_match(
+            ray.data.from_arrow(new_tbl), corpus_sigs, cfg, extract=False
+        )
+        status = out["new_status"].to_pydict()
+        assert len(status["doc_id"]) == new_tbl.num_rows
+        matched = sum(1 for d in status["duplicate_of"] if d is not None)
+        # every one of these variants has its base in the corpus
+        assert matched / len(status["doc_id"]) >= 0.95, matched
+        # and a batch of fresh gibberish matches nothing
+        fresh = pa.table(
+            {
+                "url": pa.array(["new://x1", "new://x2"], pa.string()),
+                "warc_ts": pa.array([1, 2], pa.timestamp("us")),
+                "text": ["qqq zzz vvv " * 30, "mmm nnn ooo " * 25],
+                "lang": ["en", "en"],
+            }
+        )
+        out2 = incremental_match(ray.data.from_arrow(fresh), corpus_sigs, cfg, extract=False)
+        assert all(d is None for d in out2["new_status"].to_pydict()["duplicate_of"])
