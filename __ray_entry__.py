@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_docs_ngram_jaccard": Q.neardup_docs_ngram_jaccard,
         "ann_srp_topk": Q.ann_srp_topk,
         "cluster_groups": Q.cluster_groups,
+        "incremental_match_docs": Q.incremental_match_docs,
     }
 
 

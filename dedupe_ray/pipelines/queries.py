@@ -708,3 +708,26 @@ def user_sessions(sf_dir: str):
         )
 
     return sorted_group_apply(ds, "user_id", _sessions)
+
+
+def incremental_match_docs(sf_dir: str):
+    """Incremental batch-vs-corpus matching: corpus = base pages from the
+    documents table; increment = the planted variant pages. Returns the
+    per-new-page verdict (duplicate_of or null)."""
+    from dedupe_ray.pipelines.incremental import incremental_match
+    from dedupe_ray.pipelines.neardup import signatures_dataset
+
+    cfg = NearDupConfig(algo="minhash")
+    pages = pages_from_documents(sf_dir)  # base + variant rows
+
+    def _split(batch: pa.Table, keep_variant: bool) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        is_var = _pc.match_substring(batch.column("url"), "/variant")
+        return batch.filter(is_var if keep_variant else _pc.invert(is_var))
+
+    corpus = pages.map_batches(lambda b: _split(b, False), batch_format="pyarrow")
+    increment = pages.map_batches(lambda b: _split(b, True), batch_format="pyarrow")
+    corpus_sigs = signatures_dataset(corpus, cfg).materialize()
+    out = incremental_match(increment, corpus_sigs, cfg)
+    return out["new_status"].sort_by("url")
