@@ -75,7 +75,8 @@ def cmd_dedup(args) -> int:
     _init_ray(args.num_cpus)
     cfg = _config(args)
     metrics = run_neardup_checkpointed(
-        _expand(args.input), args.output, cfg, extract=not args.no_extract
+        _expand(args.input), args.output, cfg, extract=not args.no_extract,
+        quarantine=args.quarantine_failed,
     )
     if args.keep_canonical_only:
         # the -delete analog: materialize survivors only (keep the canonical
@@ -211,6 +212,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--keep-canonical-only", action="store_true")
     d.add_argument("--write-groups-csv", action="store_true",
                    help="also write one-CSV-row-per-duplicate-group (reference K1 sink)")
+    d.add_argument("--quarantine-failed", action="store_true",
+                   help="route rows whose extraction yields no text to <output>/quarantine")
     d.add_argument("--partition-by-cluster", action="store_true",
                    help="materialize duplicate clusters as one directory per cluster (reference -move analog)")
     d.set_defaults(fn=cmd_dedup)

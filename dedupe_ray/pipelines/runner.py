@@ -37,17 +37,56 @@ def run_neardup_checkpointed(
     out_root: str,
     config: NearDupConfig | None = None,
     extract: bool = True,
+    quarantine: bool = False,
 ) -> dict:
     """read input parquet → checkpointed signatures / edges / clusters /
-    final assignment under ``out_root``. Returns the run metrics."""
+    final assignment under ``out_root``. Returns the run metrics.
+
+    ``quarantine=True`` routes rows whose extraction produced no text to a
+    ``quarantine`` checkpoint instead of signing them (drop-and-continue,
+    /root/reference/dedupe.go:55-58, but with the dropped records kept
+    auditable instead of discarded)."""
     config = config or NearDupConfig()
     run = CheckpointedRun(out_root, config.config_hash(), _input_fingerprint(input_paths))
 
-    sigs = run.stage(
-        "signatures",
-        lambda: signatures_dataset(ray.data.read_parquet(list(input_paths)), config,
-                                   extract=extract),
-    )
+    if extract and quarantine:
+        import pyarrow.compute as pc
+
+        from dedupe_ray.stages.extract import ExtractText
+
+        def _extracted():
+            return ray.data.read_parquet(list(input_paths)).map_batches(
+                lambda b: ExtractText(mark_quarantine=True)(b),
+                batch_format="pyarrow", batch_size=None,
+            )
+
+        run.stage(
+            "quarantine",
+            lambda: _extracted().map_batches(
+                lambda b: b.filter(pc.equal(b.column("extract_ok"), False))
+                .select(["url", "warc_ts"]),
+                batch_format="pyarrow",
+            ),
+        )
+        sigs = run.stage(
+            "signatures",
+            lambda: signatures_dataset(
+                _extracted().map_batches(
+                    lambda b: b.filter(pc.equal(b.column("extract_ok"), True))
+                    .drop_columns(["extract_ok"]),
+                    batch_format="pyarrow",
+                ),
+                config,
+                extract=False,
+            ),
+            upstream=["quarantine"],
+        )
+    else:
+        sigs = run.stage(
+            "signatures",
+            lambda: signatures_dataset(ray.data.read_parquet(list(input_paths)), config,
+                                       extract=extract),
+        )
     edges = run.stage(
         "edges",
         lambda: match_edges(sigs, config),
