@@ -149,7 +149,9 @@ def cmd_compare(args) -> int:
 
     _init_ray(args.num_cpus)
     cfg = _config(args)
-    pages = ray.data.read_parquet(_expand(args.input))
+    from dedupe_ray.sources import read_pages
+
+    pages = read_pages(_expand(args.input))
     sigs = signatures_dataset(pages, cfg, extract=not args.no_extract).materialize()
     if args.target_text is not None:
         target = args.target_text
@@ -180,7 +182,9 @@ def cmd_stats(args) -> int:
     from dedupe_ray.functions.quality import doc_stats_table
 
     _init_ray(args.num_cpus)
-    pages = ray.data.read_parquet(_expand(args.input))
+    from dedupe_ray.sources import read_pages
+
+    pages = read_pages(_expand(args.input))
 
     def _stats(batch: pa.Table) -> pa.Table:
         cols = {"url": batch.column("url")}

@@ -55,7 +55,9 @@ def run_neardup_checkpointed(
         from dedupe_ray.stages.extract import ExtractText
 
         def _extracted():
-            return ray.data.read_parquet(list(input_paths)).map_batches(
+            from dedupe_ray.sources import read_pages
+
+            return read_pages(list(input_paths)).map_batches(
                 lambda b: ExtractText(mark_quarantine=True)(b),
                 batch_format="pyarrow", batch_size=None,
             )
@@ -82,9 +84,11 @@ def run_neardup_checkpointed(
             upstream=["quarantine"],
         )
     else:
+        from dedupe_ray.sources import read_pages
+
         sigs = run.stage(
             "signatures",
-            lambda: signatures_dataset(ray.data.read_parquet(list(input_paths)), config,
+            lambda: signatures_dataset(read_pages(list(input_paths)), config,
                                        extract=extract),
         )
     edges = run.stage(

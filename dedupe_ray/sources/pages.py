@@ -1,0 +1,77 @@
+"""Sources: read a pages corpus from parquet / json / csv into the canonical
+schema.
+
+The reference's source layer walks directories and classifies inputs by
+extension (``FindImages`` / ``ImageOrDir`` / ``isImage``,
+/root/reference/utils/file.go:25-118). Here the classification is by file
+format, and every format funnels into the one canonical PAGES_SCHEMA
+(url, warc_ts, html, text, lang) with missing optional columns filled with
+nulls — so downstream stages never branch on provenance.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+from dedupe_ray.fixtures.pages import PAGES_SCHEMA
+
+__all__ = ["read_pages", "coerce_pages_schema"]
+
+_READERS = {
+    ".parquet": ray.data.read_parquet,
+    ".json": ray.data.read_json,
+    ".jsonl": ray.data.read_json,
+    ".csv": ray.data.read_csv,
+}
+
+_REQUIRED = ("url",)
+_OPTIONAL_DEFAULTS = {
+    "warc_ts": pa.timestamp("us"),
+    "html": pa.binary(),
+    "text": pa.string(),
+    "lang": pa.string(),
+}
+
+
+def coerce_pages_schema(batch: pa.Table) -> pa.Table:
+    """Project a batch onto PAGES_SCHEMA: required ``url``; missing optional
+    columns become nulls; extra columns are dropped; types are cast."""
+    if "url" not in batch.column_names:
+        raise ValueError(f"pages input lacks required column 'url'; has {batch.column_names}")
+    cols = {}
+    cols["url"] = batch.column("url").cast(pa.string())
+    for name, typ in _OPTIONAL_DEFAULTS.items():
+        if name in batch.column_names:
+            col = batch.column(name)
+            if name == "html" and pa.types.is_string(col.type):
+                # text-format sources (csv/json) carry html as string
+                col = col.cast(pa.binary())
+            cols[name] = col.cast(typ)
+        else:
+            cols[name] = pa.nulls(batch.num_rows, typ)
+    return pa.table(cols, schema=PAGES_SCHEMA)
+
+
+def read_pages(paths: list[str] | str) -> "ray.data.Dataset":
+    """Read one or more pages files (parquet/json/jsonl/csv, may be mixed)
+    and coerce to the canonical schema. Directories are read as parquet."""
+    if isinstance(paths, str):
+        paths = [paths]
+    by_reader: dict = {}
+    for p in paths:
+        ext = os.path.splitext(p)[1].lower() if not os.path.isdir(p) else ".parquet"
+        reader = _READERS.get(ext)
+        if reader is None:
+            raise ValueError(f"unsupported pages format {ext!r} for {p}")
+        by_reader.setdefault(reader, []).append(p)
+    ds = None
+    for reader, group in by_reader.items():
+        part = reader(group).map_batches(
+            coerce_pages_schema, batch_format="pyarrow", batch_size=None
+        )
+        ds = part if ds is None else ds.union(part)
+    return ds

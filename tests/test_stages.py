@@ -218,3 +218,39 @@ class TestVerifyJoinPath:
         a = pairset(verify_edges(distinct, sigs, cfg))
         b = pairset(verify_edges_join(distinct, sigs, cfg, num_partitions=4))
         assert a == b and len(a) > 0
+
+
+class TestSources:
+    def test_read_pages_mixed_formats(self, ray_session, tmp_path):
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        from dedupe_ray.fixtures.pages import PAGES_SCHEMA, generate_pages
+        from dedupe_ray.sources import read_pages
+
+        f = generate_pages(n_pages=60, seed=3)
+        pq.write_table(f.pages.slice(0, 30), str(tmp_path / "a.parquet"))
+        # jsonl with only url+text (optional columns missing)
+        with open(tmp_path / "b.jsonl", "w") as fh:
+            for u, t in zip(
+                f.pages.column("url").to_pylist()[30:],
+                f.pages.column("text").to_pylist()[30:],
+            ):
+                fh.write(_json.dumps({"url": u, "text": t}) + "\n")
+        ds = read_pages([str(tmp_path / "a.parquet"), str(tmp_path / "b.jsonl")])
+        tbl = pa.concat_tables(
+            list(ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        )
+        assert tbl.num_rows == 60
+        assert tbl.schema.equals(PAGES_SCHEMA)
+        # jsonl rows have null html/warc_ts but keep text
+        b = tbl.filter(pa.compute.is_null(tbl.column("html")))
+        assert b.num_rows == 30
+        assert b.column("text").null_count == 0
+
+    def test_read_pages_rejects_unknown_format(self, ray_session):
+        from dedupe_ray.sources import read_pages
+
+        with pytest.raises(ValueError):
+            read_pages(["/tmp/x.avro"])
