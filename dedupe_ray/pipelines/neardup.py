@@ -1,13 +1,16 @@
 """The flagship pipeline: pages → near-duplicate clusters (SURVEY.md §3.4).
 
     read_parquet(pages)                              url warc_ts html text lang
-      → map_batches(ExtractText)                     html → text (+doc_id)
-      → map_batches(SignatureStage, concurrency=N)   +simhash / +minhash
+      → map_batches(extract+sign, fused)             html → text (+doc_id),
+                                                     +simhash / +minhash
       → band emission (vectorized map_batches)       ×B (band_key, doc_id)
-      → candidate_edges   [shuffle 1: sort band_key] (src, dst) candidates
-      → dedupe_edges      [shuffle 2: small edges]   distinct pairs
-      → verify_edges      [broadcast, no shuffle]    exact metric ≥ threshold
-      → connected_components                         (doc_id, cluster_id)
+      → candidate_edges   [shuffle: sort band_key]   (src, dst) candidates
+      → verification                                 exact metric ≥ threshold:
+           driver path: slim broadcast slice, vectorized numpy (small edges)
+           distributed: dedupe_edges sort + verify_edges broadcast, or
+                        verify_edges_join (2 hash joins) for huge slices
+      → connected_components                         driver union-find or
+                                                     large/small-star rounds
       → assign + canonical                           pages_out
 
 The corpus streams through map_batches stages; the only all-to-all exchange
