@@ -60,12 +60,24 @@ class SimHashConfig:
     name: str = "simhash"
     shingle_size: int = 3
     bands: int = 4
-    threshold: int = 3  # Hamming radius; <= bands-1 guarantees 100% recall
+    threshold: int = 3  # Hamming radius; <= bands-combo guarantees 100% recall
+    # combo=k keys each exact-match k blocks jointly (C(bands, k) keys of
+    # k·(64/bands) bits — Manku et al.'s multi-table scheme). combo=1 is
+    # plain banding. Wider radius without tiny keys: e.g. bands=8, combo=2 →
+    # 28 keys × 16 bits, guaranteed recall through radius 6.
+    combo: int = 1
     seed: int = 12345
 
     def __post_init__(self) -> None:
         if 64 % self.bands != 0:
             raise ValueError(f"bands({self.bands}) must divide 64")
+        if not 1 <= self.combo < self.bands:
+            raise ValueError(f"combo({self.combo}) must be in [1, bands)")
+        if self.threshold > self.bands - self.combo:
+            raise ValueError(
+                f"threshold({self.threshold}) > bands-combo "
+                f"({self.bands - self.combo}): recall guarantee broken"
+            )
 
 
 @dataclass(frozen=True)

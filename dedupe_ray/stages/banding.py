@@ -63,26 +63,38 @@ def minhash_band_table(batch: pa.Table, cfg: MinHashConfig,
 
 def simhash_band_table(batch: pa.Table, cfg: SimHashConfig,
                        id_col: str = "doc_id", sig_col: str = "simhash") -> pa.Table:
-    """(band_key, doc_id) from contiguous bit-bands of the 64-bit simhash.
+    """(band_key, doc_id) from bit-blocks of the 64-bit simhash.
 
-    With B bands of 64/B bits, any pair at Hamming distance ≤ B-1 shares at
-    least one identical band (pigeonhole) — exact-recall blocking for the
-    configured radius when ``cfg.threshold <= cfg.bands - 1``.
+    ``combo=1``: B blocks of 64/B bits; any pair at Hamming distance ≤ B-1
+    shares an identical block (pigeonhole). ``combo=k``: one key per
+    C(B, k)-combination of blocks, each requiring its k blocks to match
+    jointly (Manku et al., WWW'07 multi-table simhash) — any pair within
+    radius B-k leaves some k blocks untouched, so recall is guaranteed
+    through ``threshold <= B - k`` with far larger (k·64/B-bit) keys and
+    correspondingly fewer random collisions.
     """
+    from itertools import combinations
+
     n = batch.num_rows
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     sims = batch.column(sig_col).to_numpy(zero_copy_only=False).astype(np.uint64)
     bits = 64 // cfg.bands
     mask = np.uint64((1 << bits) - 1)
-    keys = np.empty((n, cfg.bands), dtype=np.uint64)
+    blocks = np.empty((cfg.bands, n), dtype=np.uint64)
     for b in range(cfg.bands):
-        vals = (sims >> np.uint64(b * bits)) & mask
-        with np.errstate(over="ignore"):
-            keys[:, b] = _mix64(vals + np.uint64(b) * np.uint64(0x9E3779B97F4A7C15))
+        blocks[b] = (sims >> np.uint64(b * bits)) & mask
+    combos = list(combinations(range(cfg.bands), cfg.combo))
+    keys = np.empty((len(combos), n), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for ci, combo in enumerate(combos):
+            acc = np.full(n, np.uint64(ci) * np.uint64(0xBF58476D1CE4E5B9), dtype=np.uint64)
+            for b in combo:
+                acc = _mix64(acc + blocks[b] * np.uint64(0x9E3779B97F4A7C15))
+            keys[ci] = acc
     return pa.table(
         {
-            "band_key": pa.array(keys.reshape(-1), pa.uint64()),
-            "doc_id": pa.array(np.repeat(ids, cfg.bands), pa.int64()),
+            "band_key": pa.array(keys.T.reshape(-1), pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, len(combos)), pa.int64()),
         }
     )
 

@@ -254,3 +254,63 @@ class TestSources:
 
         with pytest.raises(ValueError):
             read_pages(["/tmp/x.avro"])
+
+
+class TestComboBanding:
+    def test_combo_pigeonhole_recall(self, ray_session):
+        """bands=8, combo=2: any pair within Hamming distance 6 must share a
+        2-block combination key."""
+        from dedupe_ray.stages.banding import simhash_band_table
+
+        rng = np.random.default_rng(21)
+        cfg = SimHashConfig(bands=8, combo=2, threshold=6)
+        base = rng.integers(0, 2**63, size=150, dtype=np.uint64)
+        flipped = base.copy()
+        for i in range(len(base)):
+            for b in rng.choice(64, size=int(rng.integers(0, 7)), replace=False):
+                flipped[i] ^= np.uint64(1) << np.uint64(b)
+        tbl = pa.table(
+            {"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+             "simhash": pa.array(np.concatenate([base, flipped]), pa.uint64())}
+        )
+        banded = simhash_band_table(tbl, cfg)
+        assert banded.num_rows == 300 * 28  # C(8,2) keys per row
+        keys = banded.column("band_key").to_numpy(zero_copy_only=False)
+        ids = banded.column("doc_id").to_numpy(zero_copy_only=False)
+        for i in range(150):
+            k1 = set(keys[ids == i].tolist())
+            k2 = set(keys[ids == i + 150].tolist())
+            assert k1 & k2, f"pair {i} within radius 6 shares no combo key"
+
+    def test_combo_config_validation(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            SimHashConfig(bands=8, combo=2, threshold=7)  # > bands - combo
+        with _pytest.raises(ValueError):
+            SimHashConfig(bands=4, combo=4)
+
+    def test_wide_simhash_end_to_end(self, ray_session):
+        """The wide (combo) simhash config catches moderately edited docs the
+        radius-3 default misses — run the full flagship with it."""
+        import ray.data
+
+        from dedupe_ray.config import NearDupConfig
+        from dedupe_ray.fixtures.pages import generate_pages
+        from dedupe_ray.pipelines.neardup import near_duplicates
+        from dedupe_ray.eval import pairwise_f1
+
+        fx = generate_pages(n_pages=400, seed=42)
+        tbl = fx.pages
+        cfg_wide = NearDupConfig(
+            algo="simhash", simhash=SimHashConfig(bands=8, combo=2, threshold=6)
+        )
+        out = near_duplicates(ray.data.from_arrow(tbl), cfg_wide, extract=False)
+        t = pa.concat_tables(list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+        m = pairwise_f1(t, fx.labeled_pairs)
+        cfg_narrow = NearDupConfig(algo="simhash")
+        out2 = near_duplicates(ray.data.from_arrow(tbl), cfg_narrow, extract=False)
+        t2 = pa.concat_tables(list(out2.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+        m2 = pairwise_f1(t2, fx.labeled_pairs)
+        assert m["precision"] >= 0.99
+        assert m["recall"] >= m2["recall"]
