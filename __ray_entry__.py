@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_pages_minhash": Q.neardup_pages_minhash,
         "neardup_pages_bench": Q.neardup_pages_bench,
         "neardup_docs_simhash": Q.neardup_docs_simhash,
+        "neardup_docs_simhash_wide": Q.neardup_docs_simhash_wide,
         "compare_lookup": Q.compare_lookup,
         "embedding_neardup": Q.embedding_neardup,
         "langid_docs": Q.langid_docs,

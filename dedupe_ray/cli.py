@@ -200,7 +200,10 @@ def cmd_stats(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from dedupe_ray import __version__
+
     p = argparse.ArgumentParser(prog="dedupe_ray")
+    p.add_argument("--version", action="version", version=f"dedupe_ray {__version__}")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     common = argparse.ArgumentParser(add_help=False)

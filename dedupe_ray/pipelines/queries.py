@@ -731,3 +731,30 @@ def incremental_match_docs(sf_dir: str):
     corpus_sigs = signatures_dataset(corpus, cfg).materialize()
     out = incremental_match(increment, corpus_sigs, cfg)
     return out["new_status"].sort_by("url")
+
+
+def neardup_docs_simhash_wide(sf_dir: str):
+    """Wide-radius simhash near-dup (Manku combination banding: 8 blocks,
+    2-block keys, Hamming radius 6) over the documents table."""
+    from dedupe_ray.pipelines.neardup import near_duplicates
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _as_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+                "warc_ts": pa.array(
+                    [1_704_067_200_000_000 + i * 1_000_000 for i in ids], pa.timestamp("us")
+                ),
+                "text": batch.column("text"),
+                "lang": batch.column("lang"),
+            }
+        )
+
+    pages = ds.map_batches(_as_pages, batch_format="pyarrow", batch_size=None)
+    cfg = NearDupConfig(
+        algo="simhash", simhash=SimHashConfig(bands=8, combo=2, threshold=6)
+    )
+    return near_duplicates(pages, cfg, extract=False)
