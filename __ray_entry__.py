@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": Q.orders_lineitem_join,
         "top_lineitems_per_order": Q.top_lineitems_per_order,
         "user_sessions": Q.user_sessions,
+        "events_asof_join": Q.events_asof_join,
         "embedding_topk": Q.embedding_topk,
         # --- rows-only (not SQL-expressible) -------------------------------
         "neardup_pages_minhash": Q.neardup_pages_minhash,
@@ -119,6 +120,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY l_orderkey "
             "ORDER BY l_quantity DESC, l_linenumber) AS BIGINT) AS rank "
             "FROM lineitem QUALIFY rank <= 2"
+        ),
+        "events_asof_join": (
+            "SELECT e.event_id, max(c.ts) AS last_click_ts FROM events e "
+            "LEFT JOIN events c ON c.user_id = e.user_id "
+            "AND c.event_type = 'click' AND c.ts <= e.ts "
+            "WHERE e.event_type = 'error' GROUP BY e.event_id"
         ),
         "user_sessions": (
             "WITH d AS (SELECT user_id, ts, "

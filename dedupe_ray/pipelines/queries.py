@@ -758,3 +758,49 @@ def neardup_docs_simhash_wide(sf_dir: str):
         algo="simhash", simhash=SimHashConfig(bands=8, combo=2, threshold=6)
     )
     return near_duplicates(pages, cfg, extract=False)
+
+
+def events_asof_join(sf_dir: str):
+    """AS-OF JOIN: for every 'error' event, the timestamp of the most recent
+    'click' by the same user at or before it (null if none). Expressed as a
+    per-user sorted merge inside ``sorted_group_apply`` blocks — the
+    composition pattern for as-of/range joins when the engine has no native
+    operator (partition by key, order by time, vectorized searchsorted)."""
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def _asof(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "last_click_ts": pa.array([], pa.timestamp("us"))})
+        uid = block.column("user_id").to_numpy(zero_copy_only=False)
+        ts = block.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        et = np.asarray(block.column("event_type").to_pylist(), dtype=object)
+        eid = block.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts, et, eid = uid[order], ts[order], et[order], eid[order]
+        out_id, out_ts = [], []
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        for s, e in zip(starts, ends):
+            seg_ts, seg_et, seg_id = ts[s:e], et[s:e], eid[s:e]
+            click_ts = seg_ts[seg_et == "click"]
+            err = seg_et == "error"
+            if not err.any():
+                continue
+            pos = np.searchsorted(click_ts, seg_ts[err], side="right") - 1
+            vals = np.where(pos >= 0, click_ts[np.clip(pos, 0, None)], -1)
+            out_id.append(seg_id[err])
+            out_ts.append(vals)
+        if not out_id:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "last_click_ts": pa.array([], pa.timestamp("us"))})
+        ids = np.concatenate(out_id)
+        vals = np.concatenate(out_ts)
+        arr = pa.array(
+            [None if v < 0 else int(v) for v in vals], pa.timestamp("us")
+        )
+        return pa.table({"event_id": pa.array(ids, pa.int64()), "last_click_ts": arr})
+
+    return sorted_group_apply(ds, "user_id", _asof)
