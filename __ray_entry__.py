@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_lineitems_per_order": Q.top_lineitems_per_order,
         "user_sessions": Q.user_sessions,
         "events_asof_join": Q.events_asof_join,
+        "events_range_join": Q.events_range_join,
         "embedding_topk": Q.embedding_topk,
         # --- rows-only (not SQL-expressible) -------------------------------
         "neardup_pages_minhash": Q.neardup_pages_minhash,
@@ -120,6 +121,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY l_orderkey "
             "ORDER BY l_quantity DESC, l_linenumber) AS BIGINT) AS rank "
             "FROM lineitem QUALIFY rank <= 2"
+        ),
+        "events_range_join": (
+            "SELECT e.event_id, CAST(count(c.ts) AS BIGINT) AS n_recent_clicks "
+            "FROM events e LEFT JOIN events c ON c.user_id = e.user_id "
+            "AND c.event_type = 'click' AND c.ts <= e.ts "
+            "AND c.ts > e.ts - INTERVAL 5 MINUTE "
+            "WHERE e.event_type = 'error' GROUP BY e.event_id"
         ),
         "events_asof_join": (
             "SELECT e.event_id, max(c.ts) AS last_click_ts FROM events e "

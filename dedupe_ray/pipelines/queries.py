@@ -804,3 +804,48 @@ def events_asof_join(sf_dir: str):
         return pa.table({"event_id": pa.array(ids, pa.int64()), "last_click_ts": arr})
 
     return sorted_group_apply(ds, "user_id", _asof)
+
+
+def events_range_join(sf_dir: str):
+    """RANGE JOIN: for every 'error' event, how many 'click' events the same
+    user made in the preceding 5 minutes (inclusive window (t-5min, t]).
+    Same partition-by-key sorted-merge pattern as the as-of join, with a
+    two-sided vectorized searchsorted."""
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    win_us = 5 * 60 * 1_000_000
+
+    def _range(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "n_recent_clicks": pa.array([], pa.int64())})
+        uid = block.column("user_id").to_numpy(zero_copy_only=False)
+        ts = block.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        et = np.asarray(block.column("event_type").to_pylist(), dtype=object)
+        eid = block.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts, et, eid = uid[order], ts[order], et[order], eid[order]
+        out_id, out_n = [], []
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        for s, e in zip(starts, ends):
+            seg_ts, seg_et, seg_id = ts[s:e], et[s:e], eid[s:e]
+            click_ts = seg_ts[seg_et == "click"]
+            err = seg_et == "error"
+            if not err.any():
+                continue
+            t = seg_ts[err]
+            hi = np.searchsorted(click_ts, t, side="right")
+            lo = np.searchsorted(click_ts, t - win_us, side="right")
+            out_id.append(seg_id[err])
+            out_n.append(hi - lo)
+        if not out_id:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "n_recent_clicks": pa.array([], pa.int64())})
+        return pa.table(
+            {"event_id": pa.array(np.concatenate(out_id), pa.int64()),
+             "n_recent_clicks": pa.array(np.concatenate(out_n).astype(np.int64), pa.int64())}
+        )
+
+    return sorted_group_apply(ds, "user_id", _range)
