@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,
         "embedding_topk": Q.embedding_topk,
+        "sample_docs": Q.sample_docs,
         # --- rows-only (not SQL-expressible) -------------------------------
         "neardup_pages_minhash": Q.neardup_pages_minhash,
         "neardup_pages_bench": Q.neardup_pages_bench,
@@ -112,6 +113,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
         ),
         "distinct_mktsegment": "SELECT DISTINCT c_mktsegment FROM customer",
+        "sample_docs": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 16 = 0"
+        ),
         "orders_lineitem_join": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"

@@ -35,4 +35,22 @@ from dedupe_ray.config import (  # noqa: F401
     SIGNATURE_ALGOS,
 )
 
+
+def __getattr__(name):
+    # lazy re-exports so `import dedupe_ray` stays light (no Ray import)
+    if name in ("near_duplicates", "signatures_dataset", "match_edges"):
+        from dedupe_ray.pipelines import neardup
+
+        return getattr(neardup, name)
+    if name == "exact_dedup":
+        from dedupe_ray.pipelines.exact import exact_dedup
+
+        return exact_dedup
+    if name == "compare":
+        from dedupe_ray.pipelines.compare import compare
+
+        return compare
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"

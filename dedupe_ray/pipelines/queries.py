@@ -849,3 +849,16 @@ def events_range_join(sf_dir: str):
         )
 
     return sorted_group_apply(ds, "user_id", _range)
+
+
+def sample_docs(sf_dir: str):
+    """Deterministic 5% sample (hash-mod on the key — reproducible across
+    runs and cluster sizes, unlike random_sample)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b.column("doc_id"), 15), 0)
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
