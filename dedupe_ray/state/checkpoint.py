@@ -88,6 +88,25 @@ class CheckpointedRun:
         t0 = time.monotonic()
         ds = fn()
         ds.write_parquet(tmp)
+        # a zero-row dataset writes NO files — commit an explicit empty
+        # parquet so the checkpoint stays readable (schema preserved)
+        os.makedirs(tmp, exist_ok=True)
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(tmp, "*.parquet")):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            schema = ds.schema()
+            arrow_schema = getattr(schema, "base_schema", None) if schema else None
+            empty = (
+                pa.table(
+                    {f.name: pa.nulls(0, f.type) for f in arrow_schema}
+                )
+                if arrow_schema is not None
+                else pa.table({"__empty__": pa.nulls(0, pa.int8())})
+            )
+            pq.write_table(empty, os.path.join(tmp, "empty.parquet"))
         wall = time.monotonic() - t0
         out = ray.data.read_parquet(tmp)
         n_rows = out.count()

@@ -73,3 +73,16 @@ def test_cli_dedup_and_compare(ray_session, pages_parquet, tmp_path, capsys):
     assert rc == 0
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("https://")]
     assert any(target_url in l for l in lines)
+
+
+def test_empty_stage_checkpoint_roundtrip(ray_session, pages_parquet, tmp_path):
+    """A stage producing ZERO rows (e.g. nothing quarantined) must still
+    commit a readable checkpoint and resume cleanly."""
+    from dedupe_ray.pipelines.runner import run_neardup_checkpointed
+
+    out = str(tmp_path / "qrun")
+    m = run_neardup_checkpointed([pages_parquet], out, NearDupConfig(), quarantine=True)
+    assert m["quarantine"]["rows"] == 0  # fixture pages all extract fine
+    assert m["assignment"]["rows"] == 300
+    m2 = run_neardup_checkpointed([pages_parquet], out, NearDupConfig(), quarantine=True)
+    assert m2["quarantine"].get("resumed")
