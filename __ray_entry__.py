@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": Q.events_range_join,
         "embedding_topk": Q.embedding_topk,
         "sample_docs": Q.sample_docs,
+        "suppliers_per_region": Q.suppliers_per_region,
+        "parts_by_brand": Q.parts_by_brand,
         # --- rows-only (not SQL-expressible) -------------------------------
         "neardup_pages_minhash": Q.neardup_pages_minhash,
         "neardup_pages_bench": Q.neardup_pages_bench,
@@ -115,6 +117,15 @@ def oracle_sql() -> dict[str, str]:
         "distinct_mktsegment": "SELECT DISTINCT c_mktsegment FROM customer",
         "sample_docs": (
             "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 16 = 0"
+        ),
+        "suppliers_per_region": (
+            "SELECT r_name, count(*) AS n FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "parts_by_brand": (
+            "SELECT p_brand, count(*) AS n, min(p_retailprice) AS min_price, "
+            "max(p_retailprice) AS max_price FROM part GROUP BY p_brand"
         ),
         "orders_lineitem_join": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate "

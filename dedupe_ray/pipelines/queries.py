@@ -862,3 +862,52 @@ def sample_docs(sf_dir: str):
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def suppliers_per_region(sf_dir: str):
+    """Three-way broadcast join chain (supplier ⋈ nation ⋈ region): both
+    dimension maps are composed driver-side into one s_nationkey → r_name
+    lookup, then a single vectorized probe per batch — a multi-way join
+    collapses to ONE broadcast when the dimensions are small."""
+    nation = pa.concat_tables(list(read_table(sf_dir, "nation").iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")))
+    region = pa.concat_tables(list(read_table(sf_dir, "region").iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")))
+    rmap = dict(zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()))
+    nmap = {
+        nk: rmap[rk]
+        for nk, rk in zip(
+            nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist()
+        )
+    }
+    keys = np.sort(np.asarray(list(nmap), dtype=np.int64))
+    vals = np.asarray([nmap[int(k)] for k in keys], dtype=object)
+    ref = ray.put((keys, vals))
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(ref)
+        nk = batch.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(k, nk), 0, len(k) - 1)
+        hit = k[pos] == nk
+        out = batch.filter(pa.array(hit))
+        return pa.table({"r_name": pa.array(v[pos[hit]], pa.string()),
+                         "s_suppkey": out.column("s_suppkey")})
+
+    sup = read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    return (
+        sup.map_batches(_probe, batch_format="pyarrow", batch_size=None)
+        .groupby("r_name")
+        .count()
+        .rename_columns({"count()": "n"})
+    )
+
+
+def parts_by_brand(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = read_table(sf_dir, "part", ["p_brand", "p_retailprice"])
+    return ds.groupby("p_brand").aggregate(
+        Count(alias_name="n"),
+        Min("p_retailprice", alias_name="min_price"),
+        Max("p_retailprice", alias_name="max_price"),
+    )
