@@ -70,8 +70,19 @@ def extract_text_batch(payloads) -> list[str]:
     return [extract_text(p) for p in payloads]
 
 
+# ASCII fast path: [^\W_]+ on ASCII text is exactly [A-Za-z0-9]+ — a C-level
+# translate+split is ~3× the regex engine. The regex stays the definition
+# (and the path for any non-ASCII text); golden tests pin equivalence.
+_ASCII_KEEP = str.maketrans(
+    {c: " " for c in map(chr, range(128)) if not c.isalnum()}
+)
+
+
 def normalize_tokens(text: str) -> list[str]:
     """Lowercased word tokens of ``text`` — the canonical feature space for
     signatures (the analog of resize-to-fixed-grid before hashing,
     /root/reference/hash/hash.go:57-58)."""
-    return _RE_TOKEN.findall(text.lower())
+    low = text.lower()
+    if low.isascii():
+        return low.translate(_ASCII_KEEP).split()
+    return _RE_TOKEN.findall(low)

@@ -41,18 +41,31 @@ class SignatureStage:
         self.simhash_k = self.config.simhash.shingle_size
 
     def _shingles_flat(self, texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Batch-vectorized: tokenize per doc (regex, unavoidable Python),
-        hash ALL tokens in one memoized pass, then one global sliding-window
-        shingle computation (``shingle_hashes_flat``) instead of per-doc
-        numpy calls."""
-        from dedupe_ray.functions.hashing import shingle_hashes_flat
+        """Batch-vectorized: tokenize per doc (C fast path), UNIQUE the
+        batch's tokens so each distinct token is hashed once (Zipf →
+        unique count ≪ token count), scatter hashes back via the inverse
+        index, then one global sliding-window shingle pass."""
+        from dedupe_ray.functions.hashing import hash_token, shingle_hashes_flat
 
         token_lists = [normalize_tokens(t or "") for t in texts]
         lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
         all_tokens: list[str] = []
         for tl in token_lists:
             all_tokens.extend(tl)
-        flat_tok = hash_tokens(all_tokens, self.token_cache)
+        if all_tokens:
+            arr = np.asarray(all_tokens)  # fixed-width unicode, C sort
+            uniq, inverse = np.unique(arr, return_inverse=True)
+            cache = self.token_cache
+            uniq_hashes = np.empty(len(uniq), dtype=np.uint64)
+            for i, t in enumerate(uniq.tolist()):
+                h = cache.get(t)
+                if h is None:
+                    h = hash_token(t)
+                    cache[t] = h
+                uniq_hashes[i] = h
+            flat_tok = uniq_hashes[inverse]
+        else:
+            flat_tok = np.zeros(0, dtype=np.uint64)
         return shingle_hashes_flat(flat_tok, lens, k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
