@@ -362,3 +362,45 @@ class TestIncrementalMatch:
         )
         out2 = incremental_match(ray.data.from_arrow(fresh), corpus_sigs, cfg, extract=False)
         assert all(d is None for d in out2["new_status"].to_pydict()["duplicate_of"])
+
+
+class TestGoldenClusters5k:
+    def test_f1_at_small_scale(self, ray_session):
+        """FIXTURES.md 'small' corpus: 5,000 pages, F1 ≥ 0.99 — the
+        statistical-robustness version of the 600-page gate."""
+        from dedupe_ray.pipelines.neardup import near_duplicates
+
+        fx = generate_pages(n_pages=5000, seed=42)
+        ds = _pages_ds(ray_session, fx)
+        out = near_duplicates(ds, NearDupConfig(algo="minhash"))
+        tbl = pa.concat_tables(list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+        m = pairwise_f1(tbl, fx.labeled_pairs)
+        assert m["f1"] >= 0.99, m
+
+
+class TestCanonicalTieBreak:
+    def test_same_ts_breaks_by_url(self, ray_session):
+        import ray.data
+
+        from dedupe_ray.pipelines.neardup import near_duplicates
+
+        text = "alpha beta gamma delta epsilon zeta eta theta " * 10
+        html = f"<p>{text}</p>".encode()
+        tbl = pa.table(
+            {
+                "url": pa.array(["https://b.example/1", "https://a.example/2",
+                                 "https://c.example/0"], pa.string()),
+                "warc_ts": pa.array([1000, 1000, 1000], pa.timestamp("us")),
+                "html": pa.array([html] * 3, pa.binary()),
+                "text": pa.array([None] * 3, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+            }
+        )
+        out = near_duplicates(ray.data.from_arrow(tbl), NearDupConfig(algo="minhash"))
+        t = pa.concat_tables(list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+        canon = {u: c for u, c in zip(t.column("url").to_pylist(),
+                                      t.column("is_canonical").to_pylist())}
+        assert len(set(t.column("cluster_id").to_pylist())) == 1
+        # equal timestamps → lexicographically smallest url wins
+        assert canon == {"https://a.example/2": True, "https://b.example/1": False,
+                         "https://c.example/0": False}
