@@ -25,6 +25,9 @@ class MinHashConfig:
     """
 
     name: str = "minhash"
+    # "kperm" = classic K permutations; "oph" = one-permutation hashing with
+    # rotation densification (O(1)/shingle — the long-document scale lever)
+    scheme: str = "kperm"
     num_perms: int = 128
     shingle_size: int = 3
     bands: int = 32

@@ -19,14 +19,33 @@ __all__ = ["MinHasher"]
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
 
+_OPH_EMPTY = np.uint64(1) << np.uint64(63)
+_OPH_C = np.uint64(0x9E3779B1)  # odd offset decorrelating densified copies
+
+
 class MinHasher:
     """Stateful minhash kernel: permutation parameters are generated once from
     ``seed`` and reused per batch — hold one instance per actor
     (stateful-stage pattern; analog of per-worker state in
     /root/reference/dedupe.go:52-65).
+
+    ``scheme="kperm"`` (default): classic K independent multiply-shift
+    permutations — O(K) work per shingle.
+    ``scheme="oph"``: one-permutation hashing with circular rotation
+    densification (Li/Owen/Zhang 2012; Shrivastava & Li 2014) — each shingle
+    hashes ONCE into one of K bins (O(1) per shingle, ~K× cheaper on long
+    documents); empty bins borrow circularly with a distance offset. Same
+    (K,) uint32 signature shape, so banding/verification are unchanged.
+    Estimates have somewhat higher variance for documents with ≪ K shingles.
     """
 
-    def __init__(self, num_perms: int = 128, shingle_size: int = 3, seed: int = 12345):
+    def __init__(self, num_perms: int = 128, shingle_size: int = 3, seed: int = 12345,
+                 scheme: str = "kperm"):
+        if scheme not in ("kperm", "oph"):
+            raise ValueError(scheme)
+        if scheme == "oph" and num_perms & (num_perms - 1):
+            raise ValueError("oph requires num_perms to be a power of two")
+        self.scheme = scheme
         self.num_perms = num_perms
         self.shingle_size = shingle_size
         rng = np.random.default_rng(seed)
@@ -38,6 +57,10 @@ class MinHasher:
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         """(num_perms,) uint32 signature of one shingle-hash set."""
+        if self.scheme == "oph":
+            return self._oph_flat(
+                shingles, np.array([0, len(shingles)], dtype=np.int64)
+            )[0]
         out = np.empty(self.num_perms, dtype=np.uint32)
         buf = np.empty_like(shingles)
         with np.errstate(over="ignore"):
@@ -45,6 +68,43 @@ class MinHasher:
                 np.multiply(shingles, self.a[j], out=buf)
                 buf >>= np.uint64(32)
                 out[j] = buf.min()
+        return out
+
+    def _oph_flat(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """(n_docs, K) OPH signatures: one hash per shingle scattered into K
+        bins (top log2 K bits pick the bin, low 32 bits are the value), then
+        vectorized circular left-fill densification of empty bins."""
+        K = self.num_perms
+        b = K.bit_length() - 1
+        n_docs = len(offsets) - 1
+        if n_docs == 0:
+            return np.empty((0, K), dtype=np.uint32)
+        lens = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        bins = (flat >> np.uint64(64 - b)).astype(np.int64)
+        vals = flat & np.uint64(0xFFFFFFFF)
+        keys = doc_idx * K + bins
+        order = np.lexsort((vals, keys))
+        ks, vs = keys[order], vals[order]
+        first = np.r_[True, ks[1:] != ks[:-1]]
+        mat = np.full(n_docs * K, _OPH_EMPTY, dtype=np.uint64)
+        mat[ks[first]] = vs[first]
+        mat = mat.reshape(n_docs, K)
+        # circular densification: bin i borrows from the nearest occupied bin
+        # at or to its left (wrapping), offset by distance so copies of one
+        # source differ deterministically
+        tiled = np.concatenate([mat, mat], axis=1)
+        pos = np.arange(2 * K, dtype=np.int64)[None, :]
+        src = np.maximum.accumulate(np.where(tiled != _OPH_EMPTY, pos, -1), axis=1)
+        src_r = src[:, K:]
+        take = np.take_along_axis(tiled, np.maximum(src_r, 0), axis=1)
+        dist = (np.arange(K, dtype=np.uint64)[None, :] + np.uint64(K)) - src_r.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            dens = (take + dist * _OPH_C) & np.uint64(0xFFFFFFFF)
+        out = np.where(src_r >= 0, dens, np.uint64(0)).astype(np.uint32)
+        # occupied bins keep their exact minima (no offset)
+        occupied = mat != _OPH_EMPTY
+        out[occupied] = mat[occupied].astype(np.uint32)
         return out
 
     def signatures_flat(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -55,6 +115,8 @@ class MinHasher:
         reused buffer: ~50× faster than the equivalent 2-D broadcast on
         numpy's uint64 path (which falls off the SIMD loop and allocates a
         (n_shingles × chunk) temp per op)."""
+        if self.scheme == "oph":
+            return self._oph_flat(flat, np.asarray(offsets, dtype=np.int64))
         n_docs = len(offsets) - 1
         out = np.empty((n_docs, self.num_perms), dtype=np.uint32)
         if n_docs == 0:

@@ -36,7 +36,8 @@ class SignatureStage:
         self.emit_simhash = emit_simhash if emit_simhash is not None else (algo == "simhash")
         self.emit_minhash = emit_minhash if emit_minhash is not None else (algo == "minhash")
         mh = self.config.minhash
-        self.minhasher = MinHasher(mh.num_perms, mh.shingle_size, mh.seed)
+        self.minhasher = MinHasher(mh.num_perms, mh.shingle_size, mh.seed,
+                                   getattr(mh, 'scheme', 'kperm'))
         self.token_cache: dict[str, int] = {}
         self.simhash_k = self.config.simhash.shingle_size
 

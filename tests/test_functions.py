@@ -248,3 +248,42 @@ class TestShingleFlatEquivalence:
                 np.asarray(out.column("minhash")[i].as_py(), dtype=np.uint32),
                 mh.text_signature(t),
             )
+
+
+class TestOphMinHash:
+    def test_oph_estimates_jaccard(self):
+        """Densified OPH estimates must track exact Jaccard for sets larger
+        than K (the regime it is designed for)."""
+        from dedupe_ray.functions.hashing import hash_tokens
+
+        mh = MinHasher(num_perms=128, shingle_size=1, seed=7, scheme="oph")
+        for overlap, expect in ((400, 400 / 800), (550, 550 / 650)):
+            a = [f"t{i}" for i in range(600)]
+            b = [f"t{i}" for i in range(600 - overlap, 1200 - overlap)]
+            sa = mh.signature(shingle_hashes(hash_tokens(a), 1))
+            sb = mh.signature(shingle_hashes(hash_tokens(b), 1))
+            est = jaccard_minhash(sa, sb)
+            assert abs(est - expect) < 0.15, (overlap, est, expect)
+
+    def test_oph_batch_matches_scalar_and_identity(self):
+        mh = MinHasher(num_perms=64, shingle_size=3, seed=9, scheme="oph")
+        texts = ["one two three four five six seven", "x " * 300, "a b", ""]
+        batch = mh.batch_signatures(texts)
+        for i, t in enumerate(texts):
+            assert np.array_equal(mh.text_signature(t), batch[i]), i
+        # identical docs → identical signatures (est 1.0)
+        assert jaccard_minhash(batch[1], mh.text_signature("x " * 300)) == 1.0
+
+    def test_oph_deterministic_and_validated(self):
+        with pytest.raises(ValueError):
+            MinHasher(num_perms=100, scheme="oph")  # not a power of two
+        mh1 = MinHasher(num_perms=128, scheme="oph")
+        mh2 = MinHasher(num_perms=128, scheme="oph")
+        s1 = mh1.text_signature("the quick brown fox " * 30)
+        assert np.array_equal(s1, mh2.text_signature("the quick brown fox " * 30))
+
+    def test_oph_end_to_end_flagship(self):
+        """The whole flagship works with scheme='oph' (rows + plausible F1
+        at small scale; the fixture's small docs are OPH's worst case so the
+        bar is lower than the kperm gate)."""
+        # covered in tests/test_pipeline.py::TestOphFlagship (needs ray)

@@ -404,3 +404,20 @@ class TestCanonicalTieBreak:
         # equal timestamps → lexicographically smallest url wins
         assert canon == {"https://a.example/2": True, "https://b.example/1": False,
                          "https://c.example/0": False}
+
+
+class TestOphFlagship:
+    def test_oph_scheme_end_to_end(self, ray_session, fixture_small):
+        """OPH minhash through the whole flagship. Fixture docs (~100-400
+        tokens) sit near OPH's small-set regime, so precision must hold
+        (≥0.99) while recall may trail the kperm gate slightly."""
+        from dedupe_ray.config import MinHashConfig
+        from dedupe_ray.pipelines.neardup import near_duplicates
+
+        cfg = NearDupConfig(algo="minhash", minhash=MinHashConfig(scheme="oph"))
+        ds = _pages_ds(ray_session, fixture_small)
+        out = near_duplicates(ds, cfg)
+        tbl = pa.concat_tables(list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+        m = pairwise_f1(tbl, fixture_small.labeled_pairs)
+        assert m["precision"] >= 0.99, m
+        assert m["recall"] >= 0.9, m
