@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_srp_topk": Q.ann_srp_topk,
         "cluster_groups": Q.cluster_groups,
         "incremental_match_docs": Q.incremental_match_docs,
+        "containment_docs": Q.containment_docs,
     }
 
 

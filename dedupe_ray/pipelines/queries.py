@@ -911,3 +911,29 @@ def parts_by_brand(sf_dir: str):
         Min("p_retailprice", alias_name="min_price"),
         Max("p_retailprice", alias_name="max_price"),
     )
+
+
+def containment_docs(sf_dir: str):
+    """Substring-containment pairs over documents: a planted page quoting
+    the first 40% of another must be caught even though its Jaccard to the
+    source is low. Every 7th doc gets a deterministic quoting companion."""
+    from dedupe_ray.pipelines.containment import containment_pairs
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_i, out_t = list(ids), list(texts)
+        for i, t in zip(ids, texts):
+            if i % 7 == 0 and t:
+                toks = t.split()
+                quote = " ".join(toks[: max(8, int(len(toks) * 0.4))])
+                filler = " ".join(f"f{i % 89}x{j}" for j in range(len(toks)))
+                out_i.append(i + 10_000_000)
+                out_t.append(quote + " " + filler)
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    planted = docs.map_batches(_plant, batch_format="pyarrow", batch_size=None)
+    return containment_pairs(planted, threshold=0.4).sort_by([("src", "ascending"), ("dst", "ascending")])

@@ -421,3 +421,25 @@ class TestOphFlagship:
         m = pairwise_f1(tbl, fixture_small.labeled_pairs)
         assert m["precision"] >= 0.99, m
         assert m["recall"] >= 0.9, m
+
+
+class TestContainment:
+    def test_quoting_page_detected(self, ray_session):
+        """A page quoting 40% of another (plus unrelated filler) has low
+        Jaccard but high containment — fingerprint containment must catch it
+        while unrelated docs stay unpaired."""
+        import ray.data
+
+        from dedupe_ray.pipelines.containment import containment_pairs
+
+        base = " ".join(f"w{i:03d}" for i in range(300))
+        quote = " ".join(base.split()[:120]) + " " + " ".join(f"z{i}" for i in range(200))
+        other = " ".join(f"q{i:03d}" for i in range(300))
+        tbl = pa.table(
+            {"doc_id": pa.array([1, 2, 3], pa.int64()),
+             "text": [base, quote, other]}
+        )
+        out = containment_pairs(ray.data.from_arrow(tbl), threshold=0.4)
+        got = set(zip(out.column("src").to_pylist(), out.column("dst").to_pylist()))
+        assert (1, 2) in got
+        assert all(3 not in p for p in got)
