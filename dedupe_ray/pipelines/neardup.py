@@ -47,8 +47,9 @@ __all__ = ["signatures_dataset", "match_edges", "near_duplicates", "assign_clust
 
 
 def default_pool_size(cap: int = 16) -> int:
-    """Actor-pool size from the cluster's CPU count (leave headroom for the
-    read/write stages so the pipeline doesn't serialize)."""
+    """Actor-pool size from the cluster's CPU count — used when adding
+    actor-pool stages (model inference, media decode): leave headroom so the
+    pool doesn't starve the read/write stages."""
     try:
         n = int(ray.cluster_resources().get("CPU", 4))
     except Exception:  # not initialized yet — caller owns the session
@@ -84,7 +85,6 @@ def _extract_and_sign(batch: pa.Table, config: NearDupConfig, extract: bool) -> 
 def signatures_dataset(
     pages: "ray.data.Dataset",
     config: NearDupConfig | None = None,
-    signature_concurrency: int | None = None,
     extract: bool = True,
 ) -> "ray.data.Dataset":
     """pages → + text (extracted), doc_id, signature columns.
@@ -112,7 +112,7 @@ def match_edges(
     """signatures → verified match edges (src, dst, score). Materialized."""
     config = config or NearDupConfig()
     banded = signatures.map_batches(
-        band_emitter(config.signature()), batch_format="pyarrow", batch_size=4096
+        band_emitter(config.signature()), batch_format="pyarrow", batch_size=None
     )
     cands = candidate_edges(banded, config.max_bucket_size)
     # materialize the (small) distinct edge list: verify_edges consumes it
