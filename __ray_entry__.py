@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_groups": Q.cluster_groups,
         "incremental_match_docs": Q.incremental_match_docs,
         "containment_docs": Q.containment_docs,
+        "training_corpus": Q.training_corpus,
     }
 
 

@@ -937,3 +937,78 @@ def containment_docs(sf_dir: str):
 
     planted = docs.map_batches(_plant, batch_format="pyarrow", batch_size=None)
     return containment_pairs(planted, threshold=0.4).sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+def training_corpus(sf_dir: str):
+    """The full training-data preprocessing chain in one pipeline —
+    the reason this engine exists:
+
+        pages → extract → language-ID (actor pool) → quality filter
+              → exact dedup (keep first) → near-dup clustering
+              → keep canonical → survivors + provenance columns
+
+    Returns one row per surviving page: (url, lang_pred, quality_score,
+    cluster_id) — deterministic, streaming end-to-end.
+    """
+    from dedupe_ray.functions.langid import LangIdentifier
+    from dedupe_ray.functions.quality import quality_score_table
+    from dedupe_ray.pipelines.exact import content_hash_column
+    from dedupe_ray.pipelines.neardup import near_duplicates
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    pages = pages_from_documents(sf_dir)
+
+    class _Enrich:
+        def __init__(self):
+            self.ident = LangIdentifier()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            preds = self.ident.predict_batch(batch.column("text").to_pylist())
+            batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
+            q = quality_score_table(batch.column("text"))
+            return batch.append_column("quality_score", q["quality_score"])
+
+    enriched = pages.map_batches(_Enrich, batch_format="pyarrow", batch_size=None,
+                                 concurrency=(1, 8))
+
+    def _quality_gate(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(batch.column("quality_score"), 0.3),
+            pc.invert(pc.equal(batch.column("lang_pred"), "und")),
+        )
+        return batch.filter(keep)
+
+    filtered = enriched.map_batches(_quality_gate, batch_format="pyarrow",
+                                    batch_size=None)
+
+    # exact dedup on content hash (keep min url), then near-dup canonical
+    hashed = filtered.map_batches(
+        lambda b: content_hash_column(b, "text"), batch_format="pyarrow", batch_size=None
+    )
+
+    def _first(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block
+        keys = np.asarray(block.column("content_hash").to_pylist(), dtype=object)
+        urls = np.asarray(block.column("url").to_pylist(), dtype=object)
+        order = np.lexsort((urls, keys))
+        sk = keys[order]
+        first = np.r_[True, sk[1:] != sk[:-1]]
+        return block.take(pa.array(np.sort(order[first]), pa.int64()))
+
+    exact_unique = sorted_group_apply(hashed, "content_hash", _first).drop_columns(
+        ["content_hash"]
+    ).materialize()
+
+    out = near_duplicates(
+        exact_unique, NearDupConfig(algo="minhash"), extract=False,
+        keep_columns=["lang_pred", "quality_score"],
+    )
+    survivors = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("is_canonical"), True)).select(
+            ["url", "lang_pred", "quality_score", "cluster_id"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return survivors
