@@ -443,3 +443,24 @@ class TestContainment:
         got = set(zip(out.column("src").to_pylist(), out.column("dst").to_pylist()))
         assert (1, 2) in got
         assert all(3 not in p for p in got)
+
+
+class TestRunDeterminism:
+    def test_flagship_identical_across_executions(self, ray_session, fixture_small):
+        """Two executions of the same pipeline in one session must agree
+        byte-for-byte on (url, cluster_id, is_canonical) — parallel execution
+        order must not leak into results (SURVEY.md §4.2)."""
+        from dedupe_ray.pipelines.neardup import near_duplicates
+
+        def snap():
+            ds = _pages_ds(ray_session, fixture_small)
+            out = near_duplicates(ds, NearDupConfig(algo="minhash"))
+            t = pa.concat_tables(
+                list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+            )
+            return sorted(
+                zip(t.column("url").to_pylist(), t.column("cluster_id").to_pylist(),
+                    t.column("is_canonical").to_pylist())
+            )
+
+        assert snap() == snap()
