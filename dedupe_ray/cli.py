@@ -195,7 +195,8 @@ def cmd_stats(args) -> int:
     if args.output:
         out.write_parquet(args.output)
     else:
-        print(out.to_pandas().to_string())
+        # never materialize an unbounded corpus on the driver for display
+        print(out.limit(50).to_pandas().to_string())
     return 0
 
 
