@@ -255,6 +255,25 @@ class TestSources:
         with pytest.raises(ValueError):
             read_pages(["/tmp/x.avro"])
 
+    def test_read_pages_csv(self, ray_session, tmp_path):
+        import csv as _csv
+
+        from dedupe_ray.sources import read_pages
+
+        with open(tmp_path / "c.csv", "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow(["url", "text", "lang"])
+            w.writerow(["https://x.example/1", "hello world", "en"])
+            w.writerow(["https://x.example/2", "bonjour le monde", "fr"])
+        ds = read_pages(str(tmp_path / "c.csv"))
+        tbl = pa.concat_tables(
+            list(ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        )
+        assert tbl.num_rows == 2
+        assert tbl.column("lang").to_pylist() == ["en", "fr"]
+        assert tbl.column("html").null_count == 2
+
+
 
 class TestComboBanding:
     def test_combo_pigeonhole_recall(self, ray_session):
@@ -314,21 +333,3 @@ class TestComboBanding:
         m2 = pairwise_f1(t2, fx.labeled_pairs)
         assert m["precision"] >= 0.99
         assert m["recall"] >= m2["recall"]
-
-    def test_read_pages_csv(self, ray_session, tmp_path):
-        import csv as _csv
-
-        from dedupe_ray.sources import read_pages
-
-        with open(tmp_path / "c.csv", "w", newline="") as fh:
-            w = _csv.writer(fh)
-            w.writerow(["url", "text", "lang"])
-            w.writerow(["https://x.example/1", "hello world", "en"])
-            w.writerow(["https://x.example/2", "bonjour le monde", "fr"])
-        ds = read_pages(str(tmp_path / "c.csv"))
-        tbl = pa.concat_tables(
-            list(ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-        )
-        assert tbl.num_rows == 2
-        assert tbl.column("lang").to_pylist() == ["en", "fr"]
-        assert tbl.column("html").null_count == 2
