@@ -129,6 +129,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, count(*) AS n, min(p_retailprice) AS min_price, "
             "max(p_retailprice) AS max_price FROM part GROUP BY p_brand"
         ),
+        "media_features": (
+            "SELECT doc_id AS media_id, "
+            "CAST(length(text) > 0 AS BOOLEAN) AS decode_ok FROM documents"
+        ),
         "orders_lineitem_join": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
