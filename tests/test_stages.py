@@ -333,3 +333,51 @@ class TestComboBanding:
         m2 = pairwise_f1(t2, fx.labeled_pairs)
         assert m["precision"] >= 0.99
         assert m["recall"] >= m2["recall"]
+
+
+class TestVerifyJoinSimhash:
+    def test_join_verify_simhash_algo(self, ray_session):
+        import ray.data
+
+        from dedupe_ray.config import NearDupConfig, SimHashConfig
+        from dedupe_ray.fixtures.pages import generate_pages
+        from dedupe_ray.pipelines.neardup import signatures_dataset
+        from dedupe_ray.stages.banding import band_emitter
+        from dedupe_ray.stages.candidates import (
+            candidate_edges, dedupe_edges, verify_edges, verify_edges_join,
+        )
+
+        fx = generate_pages(n_pages=200, seed=13)
+        cfg = NearDupConfig(algo="simhash")
+        sigs = signatures_dataset(
+            ray.data.from_arrow(fx.pages), cfg, extract=False
+        ).materialize()
+        banded = sigs.map_batches(band_emitter(cfg.simhash), batch_format="pyarrow",
+                                  batch_size=None)
+        distinct = dedupe_edges(candidate_edges(banded, 256)).materialize()
+
+        def pairset(out):
+            got = set()
+            for b in out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+                got.update(zip(b.column("src").to_pylist(), b.column("dst").to_pylist()))
+            return got
+
+        a = pairset(verify_edges(distinct, sigs, cfg))
+        b = pairset(verify_edges_join(distinct, sigs, cfg, num_partitions=4))
+        assert a == b and len(a) > 0
+
+
+class TestCliStats:
+    def test_stats_to_parquet(self, ray_session, tmp_path, capsys):
+        import pyarrow.parquet as pq
+
+        from dedupe_ray.cli import main
+        from dedupe_ray.fixtures.pages import generate_pages
+
+        src = str(tmp_path / "p.parquet")
+        pq.write_table(generate_pages(n_pages=50, seed=4).pages, src)
+        out = str(tmp_path / "stats_out")
+        assert main(["stats", "--input", src, "--output", out]) == 0
+        t = pq.read_table(out)
+        assert t.num_rows == 50
+        assert "n_tokens" in t.column_names
