@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_match_docs": Q.incremental_match_docs,
         "containment_docs": Q.containment_docs,
         "training_corpus": Q.training_corpus,
+        "distinct_users_hll": Q.distinct_users_hll,
     }
 
 

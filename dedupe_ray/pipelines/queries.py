@@ -1012,3 +1012,32 @@ def training_corpus(sf_dir: str):
         batch_size=None,
     )
     return survivors
+
+
+def distinct_users_hll(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) via a mergeable HyperLogLog:
+    every batch emits ONE register-array partial; the driver max-merges the
+    tiny partials — no shuffle touches the events stream (the sketch
+    pattern for distributed distinct counting at any scale)."""
+    from dedupe_ray.functions.hll import HllSketch
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sk = HllSketch(p=12)
+        ids = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ids * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(32)
+        sk.add_hashes(h)
+        return pa.table({"registers": pa.array([sk.registers.tobytes()], pa.binary())})
+
+    sk = HllSketch(p=12)
+    for b in ds.map_batches(_partial, batch_format="pyarrow", batch_size=None).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        for blob in b.column("registers").to_pylist():
+            sk.merge(np.frombuffer(blob, dtype=np.uint8))
+    return pa.table({"approx_distinct_users": pa.array([float(sk.estimate())], pa.float64())})

@@ -287,3 +287,35 @@ class TestOphMinHash:
         at small scale; the fixture's small docs are OPH's worst case so the
         bar is lower than the kperm gate)."""
         # covered in tests/test_pipeline.py::TestOphFlagship (needs ray)
+
+
+class TestHll:
+    def test_accuracy_and_merge(self):
+        import hashlib
+
+        from dedupe_ray.functions.hll import HllSketch
+
+        rng = np.random.default_rng(3)
+        values = rng.integers(0, 2**62, size=20000, dtype=np.uint64)
+        uniq = len(np.unique(values))
+        # strong 64-bit hashing of the values
+        with np.errstate(over="ignore"):
+            h = values * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29); h *= np.uint64(0xBF58476D1CE4E5B9); h ^= h >> np.uint64(32)
+        whole = HllSketch(p=12)
+        whole.add_hashes(h)
+        est = whole.estimate()
+        assert abs(est - uniq) / uniq < 0.05, (est, uniq)
+        # merge of disjoint partials == whole
+        a, b = HllSketch(p=12), HllSketch(p=12)
+        a.add_hashes(h[:10000]); b.add_hashes(h[10000:])
+        a.merge(b)
+        assert a.estimate() == whole.estimate()
+
+    def test_small_range_linear_counting(self):
+        from dedupe_ray.functions.hll import HllSketch
+
+        sk = HllSketch(p=12)
+        h = np.arange(1, 101, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        sk.add_hashes(h)
+        assert abs(sk.estimate() - 100) < 10
