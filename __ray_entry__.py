@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": Q.events_range_join,
         "embedding_topk": Q.embedding_topk,
         "sample_docs": Q.sample_docs,
+        "top_tokens": Q.top_tokens,
         "suppliers_per_region": Q.suppliers_per_region,
         "parts_by_brand": Q.parts_by_brand,
         # --- rows-only (not SQL-expressible) -------------------------------
@@ -129,6 +130,11 @@ def oracle_sql() -> dict[str, str]:
         "parts_by_brand": (
             "SELECT p_brand, count(*) AS n, min(p_retailprice) AS min_price, "
             "max(p_retailprice) AS max_price FROM part GROUP BY p_brand"
+        ),
+        "top_tokens": (
+            "SELECT t AS token, count(*) AS n FROM documents, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(t) "
+            "GROUP BY t ORDER BY n DESC, token LIMIT 20"
         ),
         "media_features": (
             "SELECT doc_id AS media_id, "

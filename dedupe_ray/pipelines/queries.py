@@ -1041,3 +1041,39 @@ def distinct_users_hll(sf_dir: str):
         for blob in b.column("registers").to_pylist():
             sk.merge(np.frombuffer(blob, dtype=np.uint8))
     return pa.table({"approx_distinct_users": pa.array([float(sk.estimate())], pa.float64())})
+
+
+def top_tokens(sf_dir: str, k: int = 20):
+    """Top-k most frequent word tokens across the corpus: exact partial
+    aggregation (one (token, count) table per batch via np.unique) merged
+    driver-side — the shuffle-free heavy-hitters pattern. Ties broken by
+    token ascending. Also cross-checks the tokenizer against DuckDB's
+    regexp semantics (the SQL oracle tokenizes independently)."""
+    from dedupe_ray.functions.text import normalize_tokens
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(normalize_tokens(t or ""))
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.asarray(toks), return_counts=True)
+        return pa.table({"token": pa.array(uniq.tolist(), pa.string()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    import collections
+
+    total: collections.Counter = collections.Counter()
+    for b in ds.map_batches(_partial, batch_format="pyarrow", batch_size=None).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        for t, n in zip(b.column("token").to_pylist(), b.column("n").to_pylist()):
+            total[t] += n
+    items = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table(
+        {"token": pa.array([t for t, _ in items], pa.string()),
+         "n": pa.array([n for _, n in items], pa.int64())}
+    )
