@@ -382,6 +382,19 @@ def near_duplicates(
     # signatures feed both the edge pipeline and the final assignment —
     # materialize once so the extract+signature work is not recomputed.
     sigs = sigs.materialize()
+    if sigs.count() == 0:
+        base = ["url", "warc_ts", "lang", "doc_id", "cluster_id", "is_canonical"]
+        empty = pa.table(
+            {
+                "url": pa.nulls(0, pa.string()),
+                "warc_ts": pa.nulls(0, pa.timestamp("us")),
+                "lang": pa.nulls(0, pa.string()),
+                "doc_id": pa.nulls(0, pa.int64()),
+                "cluster_id": pa.nulls(0, pa.int64()),
+                "is_canonical": pa.nulls(0, pa.bool_()),
+            }
+        )
+        return ray.data.from_arrow(empty)
 
     banded = sigs.map_batches(
         band_emitter(config.signature()), batch_format="pyarrow", batch_size=None

@@ -464,3 +464,16 @@ class TestRunDeterminism:
             )
 
         assert snap() == snap()
+
+
+class TestEmptyCorpus:
+    def test_flagship_on_zero_rows(self, ray_session):
+        import ray.data
+
+        from dedupe_ray.fixtures.pages import PAGES_SCHEMA
+        from dedupe_ray.pipelines.neardup import near_duplicates
+
+        empty = pa.table({f.name: pa.nulls(0, f.type) for f in PAGES_SCHEMA})
+        out = near_duplicates(ray.data.from_arrow(empty))
+        assert out.count() == 0
+        assert set(out.schema().names) >= {"url", "cluster_id", "is_canonical"}
