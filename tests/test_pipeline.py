@@ -477,3 +477,28 @@ class TestEmptyCorpus:
         out = near_duplicates(ray.data.from_arrow(empty))
         assert out.count() == 0
         assert set(out.schema().names) >= {"url", "cluster_id", "is_canonical"}
+
+
+class TestUnicodeCorpus:
+    def test_non_ascii_texts_cluster(self, ray_session):
+        """Non-ASCII text takes the regex tokenizer path end-to-end; exact
+        copies must cluster and distinct docs must not."""
+        import ray.data
+
+        from dedupe_ray.pipelines.neardup import near_duplicates
+
+        ru = "привет мир это тестовый документ о дедупликации данных " * 8
+        zh = "数据 去重 流水线 测试 文档 内容 示例 " * 10
+        tbl = pa.table(
+            {
+                "url": pa.array([f"u://{i}" for i in range(4)], pa.string()),
+                "warc_ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+                "text": [ru, ru, zh, "plain ascii words " * 20],
+                "lang": pa.array(["ru", "ru", "zh", "en"], pa.string()),
+            }
+        )
+        out = near_duplicates(ray.data.from_arrow(tbl), NearDupConfig(), extract=False)
+        t = pa.concat_tables(list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+        cl = dict(zip(t.column("url").to_pylist(), t.column("cluster_id").to_pylist()))
+        assert cl["u://0"] == cl["u://1"]
+        assert len({cl["u://0"], cl["u://2"], cl["u://3"]}) == 3
