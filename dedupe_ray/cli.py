@@ -58,12 +58,17 @@ def _expand(paths: list[str]) -> list[str]:
 
 
 def _config(args) -> NearDupConfig:
+    from dedupe_ray.config import MinHashConfig
+
     if args.algo not in SIGNATURE_ALGOS:
         # invalid algo name falls back to the default with a warning, the way
         # the reference falls back to DCT (/root/reference/cmd/dedupe/main.go:131-137)
         print(f"warning: unknown algo {args.algo!r}, using minhash", file=sys.stderr)
         args.algo = "minhash"
-    cfg = NearDupConfig(algo=args.algo)
+    cfg = NearDupConfig(
+        algo=args.algo,
+        minhash=MinHashConfig(scheme=getattr(args, "minhash_scheme", "kperm")),
+    )
     if args.threshold is not None:
         cfg = cfg.with_threshold(args.threshold)
     return cfg
@@ -214,6 +219,8 @@ def main(argv: list[str] | None = None) -> int:
     common.add_argument("--num-cpus", type=int, default=None)
     common.add_argument("--no-extract", action="store_true",
                         help="input already has extracted text")
+    common.add_argument("--minhash-scheme", choices=["kperm", "oph"], default="kperm",
+                        help="kperm = classic K permutations; oph = one-permutation hashing")
 
     d = sub.add_parser("dedup", parents=[common])
     d.add_argument("--output", required=True)
