@@ -53,7 +53,6 @@ class HllSketch:
         # within each index run, max rank: reduceat
         seg_max = np.maximum.reduceat(sr, np.flatnonzero(first))
         tgt = si[first]
-        np.maximum(self.registers[tgt], seg_max, out=self.registers[tgt])
         self.registers[tgt] = np.maximum(self.registers[tgt], seg_max)
 
     def merge(self, other: "HllSketch | np.ndarray") -> "HllSketch":

@@ -52,7 +52,7 @@ def compare(
             )
 
     else:
-        mh = MinHasher(cfg.num_perms, cfg.shingle_size, cfg.seed)
+        mh = MinHasher(cfg.num_perms, cfg.shingle_size, cfg.seed, cfg.scheme)
         target_sig = mh.text_signature(target_text)
         ref = ray.put(target_sig)
 

@@ -159,7 +159,10 @@ def lineitem_agg(sf_dir: str):
         t = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("l_quantity", "count")]
         )
-        return t.rename_columns(["l_returnflag", "l_linestatus", "p_qty", "p_n"])
+        # rename by NAME, not position — aggregate column order differs
+        # across pyarrow versions (keys-first on 16.x, aggregates-first older)
+        ren = {"l_quantity_sum": "p_qty", "l_quantity_count": "p_n"}
+        return t.rename_columns([ren.get(c, c) for c in t.column_names])
 
     partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -780,28 +783,35 @@ def events_asof_join(sf_dir: str):
         eid = block.column("event_id").to_numpy(zero_copy_only=False)
         order = np.lexsort((ts, uid))
         uid, ts, et, eid = uid[order], ts[order], et[order], eid[order]
-        out_id, out_ts = [], []
-        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
-        ends = np.r_[starts[1:], len(uid)]
-        for s, e in zip(starts, ends):
-            seg_ts, seg_et, seg_id = ts[s:e], et[s:e], eid[s:e]
-            click_ts = seg_ts[seg_et == "click"]
-            err = seg_et == "error"
-            if not err.any():
-                continue
-            pos = np.searchsorted(click_ts, seg_ts[err], side="right") - 1
-            vals = np.where(pos >= 0, click_ts[np.clip(pos, 0, None)], -1)
-            out_id.append(seg_id[err])
-            out_ts.append(vals)
-        if not out_id:
-            return pa.table({"event_id": pa.array([], pa.int64()),
-                             "last_click_ts": pa.array([], pa.timestamp("us"))})
-        ids = np.concatenate(out_id)
-        vals = np.concatenate(out_ts)
-        arr = pa.array(
-            [None if v < 0 else int(v) for v in vals], pa.timestamp("us")
+        # Fully vectorized per-user as-of: factorize users into dense codes
+        # 0..G-1 (block is sorted by uid), fold (code, ts) into one int64
+        # composite key, and run ONE global searchsorted over all clicks —
+        # no per-group Python iteration (the reduceat shape from
+        # user_sessions, VERDICT r1 #5).
+        boundary = np.r_[True, uid[1:] != uid[:-1]]
+        code = np.cumsum(boundary) - 1
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + 2
+        key = code * span + (ts - t0)
+        is_click = et == "click"
+        err = et == "error"
+        click_key = key[is_click]
+        click_ts = ts[is_click]
+        # clicks strictly before each user's segment, per composite ordering
+        seg_click_base = np.searchsorted(click_key, key[err] // span * span)
+        pos = np.searchsorted(click_key, key[err], side="right") - 1
+        valid = pos >= seg_click_base
+        if len(click_ts):
+            vals = click_ts[np.clip(pos, 0, None)]
+        else:
+            vals = np.zeros(int(err.sum()), np.int64)
+        arr = pc.if_else(
+            pa.array(valid),
+            pa.array(vals, pa.timestamp("us")),
+            pa.scalar(None, pa.timestamp("us")),
         )
-        return pa.table({"event_id": pa.array(ids, pa.int64()), "last_click_ts": arr})
+        return pa.table({"event_id": pa.array(eid[err], pa.int64()),
+                         "last_click_ts": arr})
 
     return sorted_group_apply(ds, "user_id", _asof)
 
@@ -826,26 +836,23 @@ def events_range_join(sf_dir: str):
         eid = block.column("event_id").to_numpy(zero_copy_only=False)
         order = np.lexsort((ts, uid))
         uid, ts, et, eid = uid[order], ts[order], et[order], eid[order]
-        out_id, out_n = [], []
-        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
-        ends = np.r_[starts[1:], len(uid)]
-        for s, e in zip(starts, ends):
-            seg_ts, seg_et, seg_id = ts[s:e], et[s:e], eid[s:e]
-            click_ts = seg_ts[seg_et == "click"]
-            err = seg_et == "error"
-            if not err.any():
-                continue
-            t = seg_ts[err]
-            hi = np.searchsorted(click_ts, t, side="right")
-            lo = np.searchsorted(click_ts, t - win_us, side="right")
-            out_id.append(seg_id[err])
-            out_n.append(hi - lo)
-        if not out_id:
-            return pa.table({"event_id": pa.array([], pa.int64()),
-                             "n_recent_clicks": pa.array([], pa.int64())})
+        # Same composite-key global-searchsorted shape as events_asof_join:
+        # window counts are two searchsorteds over the flat click-key array.
+        # ``span`` pads by win_us so a (t - win) probe can never underflow
+        # into the previous user's key range.
+        boundary = np.r_[True, uid[1:] != uid[:-1]]
+        code = np.cumsum(boundary) - 1
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + win_us + 2
+        key = code * span + (ts - t0)
+        is_click = et == "click"
+        err = et == "error"
+        click_key = key[is_click]
+        hi = np.searchsorted(click_key, key[err], side="right")
+        lo = np.searchsorted(click_key, key[err] - win_us, side="right")
         return pa.table(
-            {"event_id": pa.array(np.concatenate(out_id), pa.int64()),
-             "n_recent_clicks": pa.array(np.concatenate(out_n).astype(np.int64), pa.int64())}
+            {"event_id": pa.array(eid[err], pa.int64()),
+             "n_recent_clicks": pa.array((hi - lo).astype(np.int64), pa.int64())}
         )
 
     return sorted_group_apply(ds, "user_id", _range)

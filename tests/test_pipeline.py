@@ -238,6 +238,31 @@ class TestCompare:
         out2 = compare(sigs, "zqx vbn mlp " * 40, cfg)
         assert out2.count() == 0
 
+    def test_lookup_respects_minhash_scheme(self, ray_session, fixture_small):
+        """Regression (ADVICE r1): with scheme='oph' the corpus and the
+        target must be signed with the SAME scheme — a kperm target against
+        an OPH corpus silently matches nothing."""
+        from dedupe_ray.config import MinHashConfig
+        from dedupe_ray.pipelines.compare import compare
+        from dedupe_ray.pipelines.neardup import signatures_dataset
+
+        cfg = NearDupConfig(algo="minhash", minhash=MinHashConfig(scheme="oph"))
+        ds = _pages_ds(ray_session, fixture_small, drop_text=False)
+        sigs = signatures_dataset(ds, cfg, extract=False).materialize()
+        cluster = next(v for v in fixture_small.clusters.values() if len(v) >= 3)
+        texts = dict(
+            zip(
+                fixture_small.pages.column("url").to_pylist(),
+                fixture_small.pages.column("text").to_pylist(),
+            )
+        )
+        out = compare(sigs, texts[cluster[0]], cfg)
+        got_urls = set()
+        for b in out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            got_urls.update(b.column("url").to_pylist())
+        # the identical text must at minimum match itself (score 1.0)
+        assert cluster[0] in got_urls
+
 
 class TestJaroWinklerConfirm:
     def test_jw_gate_filters_pairs(self, ray_session, fixture_small):

@@ -107,6 +107,42 @@ def test_rows_only_queries_run(entrymod):
         assert len(df.columns) > 0, name
 
 
+def test_asof_range_join_no_click_user(entrymod, tmp_path):
+    """Regression (ADVICE r1): a user with 'error' events but ZERO 'click'
+    events must yield null last_click_ts / 0 n_recent_clicks, not crash."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pa.array(
+        np.arange(10) * 60_000_000 + 1_700_000_000_000_000, pa.timestamp("us")
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array(list(range(10)), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 3, 3, 3, 4, 4], pa.int64()),
+            # user 2: errors only (the crash case); user 4: clicks only
+            "event_type": pa.array(
+                ["click", "error", "click", "error", "error",
+                 "click", "click", "error", "click", "click"],
+                pa.string(),
+            ),
+            "ts": ts,
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracles = entrymod.oracle_sql()
+    qs = entrymod.queries()
+    for name in ("events_asof_join", "events_range_join"):
+        ray_df = _to_pandas(qs[name](str(tmp_path)))
+        sql_df = c.execute(oracles[name]).fetchdf()
+        _compare(ray_df, sql_df, name)
+
+
 def test_entry_smoke(entrymod):
     df = _to_pandas(entrymod.entry())
     assert len(df) >= 500  # sf0.001 documents → >= 500 pages
