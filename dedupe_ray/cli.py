@@ -37,9 +37,15 @@ def _init_ray(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
-def _expand(paths: list[str]) -> list[str]:
+_DATA_EXTS = (".parquet", ".json", ".jsonl", ".csv")
+
+
+def _expand(paths: list[str], recursive: bool = True) -> list[str]:
     """Expand globs; ``-`` reads a whitespace-separated path manifest from
-    stdin (pipelining mode, mirroring /root/reference/cmd/dedupe/main.go:110-117)."""
+    stdin (pipelining mode, mirroring /root/reference/cmd/dedupe/main.go:110-117).
+    ``recursive=False`` replaces directory inputs with their TOP-LEVEL data
+    files only — the reference's default dir walk prunes subdirectories
+    unless ``-r`` is passed (/root/reference/utils/file.go:45-60, fs.SkipDir)."""
     import os
 
     out: list[str] = []
@@ -49,6 +55,25 @@ def _expand(paths: list[str]) -> list[str]:
             continue
         hits = sorted(glob.glob(p))
         out.extend(hits if hits else [p])
+    if not recursive:
+        flat: list[str] = []
+        for p in out:
+            if os.path.isdir(p):
+                top = sorted(
+                    os.path.join(p, f)
+                    for f in os.listdir(p)
+                    if os.path.isfile(os.path.join(p, f))
+                    and os.path.splitext(f)[1].lower() in _DATA_EXTS
+                )
+                if not top:
+                    raise SystemExit(
+                        f"error: directory {p} has no top-level data files "
+                        "(rerun without --no-recursive to walk subdirectories)"
+                    )
+                flat.extend(top)
+            else:
+                flat.append(p)
+        out = flat
     missing = [p for p in out if not os.path.exists(p)]
     if missing:
         raise SystemExit(f"error: input path(s) not found: {', '.join(missing[:5])}")
@@ -80,10 +105,40 @@ def cmd_dedup(args) -> int:
     _init_ray(args.num_cpus)
     cfg = _config(args)
     metrics = run_neardup_checkpointed(
-        _expand(args.input), args.output, cfg, extract=not args.no_extract,
-        quarantine=args.quarantine_failed,
+        _expand(args.input, recursive=not args.no_recursive), args.output, cfg,
+        extract=not args.no_extract, quarantine=args.quarantine_failed,
     )
-    if args.keep_canonical_only:
+    if args.delete_all:
+        # the reference's -delete-all: drop EVERY member of every duplicate
+        # cluster, canonical included; survivors are singletons only
+        # (/root/reference/cmd/dedupe/main.go:226-236)
+        import numpy as np
+        import pyarrow as _pa
+        import pyarrow.compute as pc
+        import ray as _ray
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{args.output}/assignment")
+        dup = ds.map_batches(
+            lambda b: b.filter(pc.not_equal(b.column("cluster_id"), b.column("doc_id"))),
+            batch_format="pyarrow",
+        )
+        dup_cids = np.sort(np.asarray(dup.unique("cluster_id"), dtype=np.int64))
+        cid_ref = _ray.put(dup_cids)
+
+        def _singletons(b):
+            cids = _ray.get(cid_ref)
+            mask = ~np.isin(b.column("cluster_id").to_numpy(zero_copy_only=False), cids)
+            return b.filter(_pa.array(mask))
+
+        ds.map_batches(_singletons, batch_format="pyarrow").write_parquet(
+            f"{args.output}/survivors"
+        )
+        metrics["survivors"] = {
+            "path": f"{args.output}/survivors",
+            "dropped_clusters": int(len(dup_cids)),
+        }
+    elif args.keep_canonical_only:
         # the -delete analog: materialize survivors only (keep the canonical
         # member of each cluster, /root/reference/cmd/dedupe/main.go:226-236)
         import pyarrow.compute as pc
@@ -156,7 +211,7 @@ def cmd_compare(args) -> int:
     cfg = _config(args)
     from dedupe_ray.sources import read_pages
 
-    pages = read_pages(_expand(args.input))
+    pages = read_pages(_expand(args.input, recursive=not args.no_recursive))
     sigs = signatures_dataset(pages, cfg, extract=not args.no_extract).materialize()
     if args.target_text is not None:
         target = args.target_text
@@ -189,7 +244,7 @@ def cmd_stats(args) -> int:
     _init_ray(args.num_cpus)
     from dedupe_ray.sources import read_pages
 
-    pages = read_pages(_expand(args.input))
+    pages = read_pages(_expand(args.input, recursive=not args.no_recursive))
 
     def _stats(batch: pa.Table) -> pa.Table:
         cols = {"url": batch.column("url")}
@@ -221,10 +276,16 @@ def main(argv: list[str] | None = None) -> int:
                         help="input already has extracted text")
     common.add_argument("--minhash-scheme", choices=["kperm", "oph"], default="kperm",
                         help="kperm = classic K permutations; oph = one-permutation hashing")
+    common.add_argument("--no-recursive", action="store_true",
+                        help="directory inputs: read top-level files only "
+                             "(reference default walk; -r analog inverted)")
 
     d = sub.add_parser("dedup", parents=[common])
     d.add_argument("--output", required=True)
     d.add_argument("--keep-canonical-only", action="store_true")
+    d.add_argument("--delete-all", action="store_true",
+                   help="survivors = singleton clusters only; every member of "
+                        "every duplicate cluster is dropped (reference -delete-all)")
     d.add_argument("--write-groups-csv", action="store_true",
                    help="also write one-CSV-row-per-duplicate-group (reference K1 sink)")
     d.add_argument("--quarantine-failed", action="store_true",

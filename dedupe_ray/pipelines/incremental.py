@@ -31,7 +31,7 @@ from dedupe_ray.pipelines.neardup import signatures_dataset
 from dedupe_ray.stages.banding import band_emitter
 from dedupe_ray.stages.candidates import candidate_edges, verify_edges
 
-__all__ = ["incremental_match"]
+__all__ = ["incremental_match", "build_band_index", "incremental_match_indexed"]
 
 
 def incremental_match(
@@ -39,6 +39,7 @@ def incremental_match(
     corpus_signatures: "ray.data.Dataset",
     config: NearDupConfig | None = None,
     extract: bool = True,
+    corpus_bands: "ray.data.Dataset | None" = None,
 ) -> dict:
     """Match an increment against a signed corpus.
 
@@ -46,6 +47,10 @@ def incremental_match(
     url, duplicate_of)}`` where ``duplicate_of`` is the matched corpus/new
     doc id (lowest-scored-first tie-break by id) or null for fresh pages.
     Both new-internal and cross edges are included.
+
+    ``corpus_bands``: optionally the PERSISTED (band_key, doc_id) index from
+    :func:`build_band_index` — then the corpus is neither re-extracted nor
+    re-signed nor re-banded; only the band filter streams over it.
     """
     config = config or NearDupConfig()
     emit = band_emitter(config.signature())
@@ -60,14 +65,28 @@ def incremental_match(
     new_keys = np.unique(new_banded_tbl.column("band_key").to_numpy(zero_copy_only=False))
     keys_ref = ray.put(new_keys)
 
-    def _band_filter(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        banded = emit(batch)
-        mask = np.isin(banded.column("band_key").to_numpy(zero_copy_only=False), keys)
-        return banded.filter(pa.array(mask))
+    if corpus_bands is not None:
+
+        def _band_filter(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            mask = np.isin(
+                batch.column("band_key").to_numpy(zero_copy_only=False), keys
+            )
+            return batch.select(["band_key", "doc_id"]).filter(pa.array(mask))
+
+        band_source = corpus_bands
+    else:
+
+        def _band_filter(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            banded = emit(batch)
+            mask = np.isin(banded.column("band_key").to_numpy(zero_copy_only=False), keys)
+            return banded.filter(pa.array(mask))
+
+        band_source = corpus_signatures
 
     # ONE streaming pass over the corpus — no shuffle, no materialization
-    corpus_hits = corpus_signatures.map_batches(
+    corpus_hits = band_source.map_batches(
         _band_filter, batch_format="pyarrow", batch_size=None
     )
     banded_all = corpus_hits.union(ray.data.from_arrow(new_banded_tbl))
@@ -118,3 +137,79 @@ def incremental_match(
         }
     )
     return {"edges": edges, "new_status": status}
+
+
+# ---------------------------------------------------------------------------
+# persisted band index (VERDICT r1 #9): sign + band the corpus ONCE, write
+# both as partitioned-parquet checkpoint stages; later increments match
+# against the checkpoint without re-extracting, re-signing or re-banding the
+# corpus. The index IS the LSH state the reference rebuilds per run
+# (/root/reference/dedupe.go:86-101 rebuilds the VP-tree every invocation).
+# ---------------------------------------------------------------------------
+
+
+def build_band_index(
+    corpus_pages: "ray.data.Dataset",
+    index_dir: str,
+    config: NearDupConfig | None = None,
+    extract: bool = True,
+    input_fingerprint: str = "",
+) -> dict:
+    """Sign + band ``corpus_pages`` into ``index_dir`` (checkpointed; a
+    re-run with the same config hash + fingerprint resumes instead of
+    recomputing). Returns the stage lineage metrics."""
+    from dedupe_ray.state.checkpoint import CheckpointedRun
+
+    config = config or NearDupConfig()
+    run = CheckpointedRun(
+        index_dir, config.config_hash(), input_fingerprint=input_fingerprint
+    )
+    sigs = run.stage(
+        "signatures",
+        lambda: signatures_dataset(corpus_pages, config, extract=extract),
+    )
+    emit = band_emitter(config.signature())
+    run.stage(
+        "bands",
+        lambda: sigs.map_batches(emit, batch_format="pyarrow", batch_size=None),
+        upstream=["signatures"],
+    )
+    run.write_run_manifest()
+    return run.metrics
+
+
+def incremental_match_indexed(
+    new_pages: "ray.data.Dataset",
+    index_dir: str,
+    config: NearDupConfig | None = None,
+    extract: bool = True,
+) -> dict:
+    """Match an increment against the PERSISTED index at ``index_dir`` —
+    only the increment is extracted/signed; the corpus side is two streaming
+    parquet reads (bands for the filter, signatures for verification)."""
+    config = config or NearDupConfig()
+    corpus_sigs = ray.data.read_parquet(f"{index_dir}/signatures")
+    if config.algo == "minhash":
+        # parquet stores fixed_size_list as plain list — restore so the
+        # persisted corpus unions cleanly with freshly-signed increments
+        num_perms = config.minhash.num_perms
+
+        def _restore(batch: pa.Table) -> pa.Table:
+            col = batch.column("minhash")
+            if pa.types.is_fixed_size_list(col.type):
+                return batch
+            flat = col.combine_chunks().flatten()
+            fixed = pa.FixedSizeListArray.from_arrays(flat, num_perms)
+            return batch.set_column(
+                batch.column_names.index("minhash"), "minhash", fixed
+            )
+
+        corpus_sigs = corpus_sigs.map_batches(
+            _restore, batch_format="pyarrow", batch_size=None
+        )
+    corpus_bands = ray.data.read_parquet(
+        f"{index_dir}/bands", columns=["band_key", "doc_id"]
+    )
+    return incremental_match(
+        new_pages, corpus_sigs, config, extract=extract, corpus_bands=corpus_bands
+    )

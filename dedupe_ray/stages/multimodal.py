@@ -2,24 +2,35 @@
 pools over opaque ``binary`` payload columns.
 
 The reference decodes images via Go's stdlib registry
-(/root/reference/utils/file.go:6-23). This container has no image/audio
-codecs, so the DECODE KERNEL is stubbed (clearly marked), but everything
-Ray-side is real and tested: schema handling, actor-pool signature, batch
-sizing for large binary payloads, deterministic fake features for tests,
-and the failure policy (malformed payload → quarantine row, job continues —
-the drop-and-continue semantics of /root/reference/dedupe.go:55-58).
+(/root/reference/utils/file.go:6-23) and hashes them with difference-hash
+gradients over a resized grayscale grid (/root/reference/hash/hash.go:53-78,
+/root/reference/utils/resize.go:360-403). Here the decode stage is a
+map_batches actor with three codec tiers:
 
-Real deployments swap ``_decode_payload`` for PIL/ffmpeg and keep the rest.
+1. PIL, when importable (any format) — tried once per actor in ``__init__``;
+2. pure-numpy decoders for PPM/PGM (P5/P6) and uncompressed 24/32-bit BMP —
+   always available, so ``mode="real"`` WORKS in codec-less containers for
+   those formats;
+3. anything else → that row is quarantined (``decode_ok=False``), the job
+   continues — the drop-and-continue semantics of
+   /root/reference/dedupe.go:55-58.
+
+``mode="fake"`` derives a deterministic pseudo-feature vector from a blake2b
+hash of the payload — stable across runs, exercises the full Arrow plumbing
+without any decoding; it remains the default for synthetic-payload tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["MEDIA_SCHEMA", "MediaFeatureStage"]
+logger = logging.getLogger(__name__)
+
+__all__ = ["MEDIA_SCHEMA", "MediaFeatureStage", "decode_image", "dhash_features"]
 
 # media records: opaque payload + typed metadata (SURVEY: treat image/audio/
 # video as opaque binary with typed metadata)
@@ -36,18 +47,126 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def _parse_pnm(payload: bytes) -> np.ndarray:
+    """P5 (PGM) / P6 (PPM) binary formats → (h, w) or (h, w, 3) uint8."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    # header: magic, width, height, maxval — whitespace separated, '#' comments
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    ch = 3 if magic == b"P6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return data.reshape(h, w, 3) if ch == 3 else data.reshape(h, w)
+
+
+def _parse_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB bottom-up BMP → (h, w, 3) uint8."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("BMP core header not supported")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = h < 0
+    h = abs(h)
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * nbytes].reshape(h, w, nbytes)
+    if not top_down:
+        rows = rows[::-1]
+    # BMP stores BGR(A)
+    return rows[:, :, 2::-1][:, :, :3]
+
+
+def decode_image(payload: bytes, pil_image_module=None) -> np.ndarray:
+    """payload → grayscale float32 (h, w) plane, via PIL when available else
+    the pure-numpy PNM/BMP decoders. Raises on undecodable payloads."""
+    if pil_image_module is not None:
+        import io
+
+        img = pil_image_module.open(io.BytesIO(payload))
+        arr = np.asarray(img.convert("L"), dtype=np.float32)
+        return arr
+    if payload[:2] in (b"P5", b"P6"):
+        arr = _parse_pnm(payload)
+    else:
+        arr = _parse_bmp(payload)
+    if arr.ndim == 2:
+        return arr.astype(np.float32)
+    # ITU-R 601 luma — the reference's grayscale weighting
+    # (/root/reference/hash/hash.go grayscale step)
+    rgb = arr.astype(np.float32)
+    return rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+
+
+def _area_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box-mean resize to (out_h, out_w) — the same area-sampling family as
+    the reference's grid resize (/root/reference/utils/resize.go:360-403),
+    vectorized with reduceat over integer bin edges."""
+    h, w = gray.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if h < out_h or w < out_w:
+        # upscale tiny images by index replication instead of empty bins
+        yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+        xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+        return gray[np.ix_(yi, xi)].astype(np.float64)
+    # downscale: integer bin edges are strictly increasing when h >= out_h
+    ye = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
+    xe = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
+    rows = np.add.reduceat(gray.astype(np.float64), ye[:-1], axis=0)
+    cells = np.add.reduceat(rows, xe[:-1], axis=1)
+    counts = np.outer(np.diff(ye), np.diff(xe)).astype(np.float64)
+    return cells / counts
+
+
+def dhash_features(gray: np.ndarray, dim: int = 64) -> np.ndarray:
+    """Difference-hash gradient features: resize to (rows, cols+1), compare
+    horizontal neighbors → ±1 float vector of length ``dim`` (rows × cols).
+    Port of the reference's Dhash gradient loop
+    (/root/reference/hash/hash.go:53-78) over a decoded plane."""
+    rows = int(np.sqrt(dim))
+    cols = dim // rows
+    grid = _area_resize(gray, rows, cols + 1)
+    bits = grid[:, 1:] > grid[:, :-1]
+    return (bits.reshape(-1).astype(np.float32) * 2.0) - 1.0
+
+
 class MediaFeatureStage:
     """map_batches actor: payload → fixed-width feature vector + ok flag.
 
-    ``mode="fake"`` (default, test mode) derives a deterministic
-    pseudo-feature vector from a blake2b hash of the payload — stable across
-    runs, exercises the full Arrow plumbing. ``mode="real"`` is the
-    integration point for an actual codec and raises ``NotImplementedError``
-    in this sealed environment (STUB — no image/audio libraries available).
+    ``mode="fake"`` (default): deterministic blake2b pseudo-features — no
+    decoding, full Arrow plumbing. ``mode="real"``: decode (PIL if present,
+    else numpy PNM/BMP) then dhash gradient features; undecodable rows are
+    quarantined with ``decode_ok=False`` and the job continues.
 
-    Large binary payloads need SMALL batch sizes: batch_size × payload ×
-    concurrency must fit the worker heap — callers pass e.g.
-    ``batch_size=64`` for multi-MB payloads.
+    Stateful-stage pattern: the PIL import probe runs ONCE per actor in
+    ``__init__``, not per batch. Large binary payloads need SMALL batch
+    sizes: batch_size × payload × concurrency must fit the worker heap —
+    callers pass e.g. ``batch_size=64`` for multi-MB payloads.
     """
 
     FEATURE_DIM = 64
@@ -56,12 +175,23 @@ class MediaFeatureStage:
         if mode not in ("fake", "real"):
             raise ValueError(mode)
         self.mode = mode
+        self._pil = None
+        if mode == "real":
+            try:
+                from PIL import Image  # noqa: PLC0415
+
+                self._pil = Image
+            except ImportError:
+                logger.warning(
+                    "PIL unavailable — real decode limited to PNM/BMP payloads"
+                )
 
     def _decode_payload(self, payload: bytes, media_type: str) -> np.ndarray:
         if self.mode == "real":
-            # STUB: no codecs in this container. Swap in PIL / torchaudio /
-            # ffmpeg here; must return a float32 vector of FEATURE_DIM.
-            raise NotImplementedError("real media decoding requires codec libraries")
+            if media_type not in (None, "image"):
+                raise ValueError(f"no decoder for media_type={media_type!r}")
+            gray = decode_image(payload, self._pil)
+            return dhash_features(gray, self.FEATURE_DIM)
         digest = hashlib.blake2b(payload, digest_size=self.FEATURE_DIM).digest()
         return (np.frombuffer(digest, dtype=np.uint8).astype(np.float32) - 127.5) / 127.5
 
@@ -76,8 +206,6 @@ class MediaFeatureStage:
             try:
                 feats[i] = self._decode_payload(p, mt)
                 ok[i] = True
-            except NotImplementedError:
-                raise
             except Exception:
                 ok[i] = False
         out = batch.drop_columns(["payload"])  # don't carry payloads downstream

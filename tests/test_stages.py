@@ -115,11 +115,82 @@ class TestMultimodal:
         f1 = stage._decode_payload(b"xx", "image")
         assert np.allclose(feats[0], f1)
 
-    def test_real_mode_is_explicit_stub(self):
+    @staticmethod
+    def _ppm_bytes(gray: np.ndarray) -> bytes:
+        h, w = gray.shape
+        rgb = np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8)
+        return b"P6\n# test\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+    @staticmethod
+    def _bmp_bytes(gray: np.ndarray) -> bytes:
+        h, w = gray.shape
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        px = np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8)
+        rows[:, : w * 3] = px.reshape(h, w * 3)
+        data = rows[::-1].tobytes()  # bottom-up
+        off = 14 + 40
+        header = (
+            b"BM" + (off + len(data)).to_bytes(4, "little") + b"\0\0\0\0"
+            + off.to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+            + b"\0" * 16
+        )
+        return header + data
+
+    def test_real_decode_ppm_bmp_dhash(self):
+        """mode='real' genuinely decodes PNM/BMP without codec libs; a
+        left-to-right brightness ramp makes every dhash gradient bit 1."""
+        from dedupe_ray.stages.multimodal import MediaFeatureStage, decode_image
+
+        ramp = np.tile(np.linspace(0, 255, 18, dtype=np.uint8), (16, 1))
+        stage = MediaFeatureStage(mode="real")
+        for payload in (self._ppm_bytes(ramp), self._bmp_bytes(ramp)):
+            gray = decode_image(payload)
+            assert gray.shape == (16, 18)
+            feats = stage._decode_payload(payload, "image")
+            assert feats.shape == (64,)
+            assert np.all(feats == 1.0)  # monotone increasing rows
+        # identical image via the two container formats → identical features
+        f1 = stage._decode_payload(self._ppm_bytes(ramp), "image")
+        f2 = stage._decode_payload(self._bmp_bytes(ramp), "image")
+        assert np.array_equal(f1, f2)
+
+    def test_real_mode_quarantines_undecodable(self, ray_session):
+        import ray.data
+
         from dedupe_ray.stages.multimodal import MediaFeatureStage
 
-        with pytest.raises(NotImplementedError):
-            MediaFeatureStage(mode="real")._decode_payload(b"x", "image")
+        ramp = np.tile(np.linspace(0, 255, 10, dtype=np.uint8), (8, 1))
+        tbl = pa.table(
+            {
+                "media_id": pa.array([1, 2, 3], pa.int64()),
+                "url": ["a", "b", "c"],
+                "media_type": ["image", "image", "audio"],
+                "payload": pa.array(
+                    [self._ppm_bytes(ramp), b"not-an-image", b"riff-audio"],
+                    pa.binary(),
+                ),
+                "width": pa.array([10, 0, 0], pa.int32()),
+                "height": pa.array([8, 0, 0], pa.int32()),
+                "duration_ms": pa.array([0, 0, 9], pa.int32()),
+            }
+        )
+        out = pa.concat_tables(
+            list(
+                ray.data.from_arrow(tbl)
+                .map_batches(
+                    MediaFeatureStage, fn_constructor_kwargs={"mode": "real"},
+                    batch_format="pyarrow", batch_size=4, concurrency=1,
+                )
+                .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            )
+        ).sort_by("media_id")
+        assert out.column("decode_ok").to_pylist() == [True, False, False]
 
 
 class TestBandingGuarantees:
