@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_docs_audit": Q.containment_docs_audit,
         "compare_lookup_audit": Q.compare_lookup_audit,
         "incremental_match_audit": Q.incremental_match_audit,
+        "embedding_neardup_audit": Q.embedding_neardup_audit,
     }
 
 
@@ -125,6 +126,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa.doc_id = src "
             "JOIN sizes sb ON sb.doc_id = dst "
             "WHERE i::DOUBLE / least(sa.n, sb.n) >= 0.8"
+        ),
+        "embedding_neardup_audit": (
+            "SELECT a.vec_id AS src, b.vec_id AS dst FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.42"
+        ),
+        "quality_docs": (
+            # arithmetic mirrors functions/quality.py op-for-op (each value
+            # is a single IEEE op over exactly-representable ints, same
+            # association order → bit-identical doubles)
+            "WITH s AS (SELECT doc_id, "
+            "CAST(length(text) AS DOUBLE) AS n_chars, "
+            "CAST(len(regexp_extract_all(text, '[^\\s]+')) AS DOUBLE) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct, "
+            "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digits, "
+            "CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) AS n_alpha "
+            "FROM documents), "
+            "r AS (SELECT doc_id, "
+            "n_alpha / greatest(n_chars, 1.0) AS alpha_ratio, "
+            "n_punct / greatest(n_tokens, 1.0) AS punct_ratio, "
+            "n_digits / greatest(n_chars, 1.0) AS digit_ratio, "
+            "n_chars / greatest(n_tokens, 1.0) AS mean_token_len FROM s) "
+            "SELECT doc_id, alpha_ratio, punct_ratio, digit_ratio, mean_token_len, "
+            "alpha_ratio * ((1.0 - least(digit_ratio, 1.0)) * "
+            "(0.5 + 0.5 * CAST(mean_token_len >= 3.0 AND mean_token_len <= 12.0 "
+            "AS DOUBLE))) AS quality_score FROM r"
         ),
         "compare_lookup_audit": (
             "WITH tok AS (SELECT doc_id, "

@@ -1365,6 +1365,46 @@ def compare_lookup_audit(sf_dir: str, target_doc: int = 0, threshold: float = 0.
     return docs.map_batches(_score, batch_format="pyarrow", batch_size=256)
 
 
+def embedding_neardup_audit(sf_dir: str, threshold: float = 0.42):
+    """Exact all-pairs cosine near-dup audit over the embeddings table:
+    (src, dst) with cosine ≥ threshold, src < dst — the SQL-oracled
+    brute-force check of the embedding near-dup family. Corpus matrix is
+    broadcast once (ray.put); each batch does ONE float64 matmul against it.
+    Output is int-only: cosine reductions are not bit-deterministic across
+    engines, so the similarity itself stays out of the hash-compared table
+    (threshold margin on this data is ≥ 7e-4, far above fp noise)."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    corpus = pa.concat_tables(
+        list(ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    n = corpus.num_rows
+    ids = corpus.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = (
+        corpus.column("embedding").combine_chunks().flatten()
+        .to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, -1)
+    )
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    ref = ray.put((ids, mat, norms))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        cids, cmat, cnorms = ray.get(ref)
+        m = batch.num_rows
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bmat = (
+            batch.column("embedding").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).astype(np.float64).reshape(m, -1)
+        )
+        bnorms = np.sqrt((bmat * bmat).sum(axis=1))
+        sims = (bmat @ cmat.T) / np.outer(bnorms, cnorms)
+        ri, ci = np.nonzero((sims >= threshold) & (bids[:, None] < cids[None, :]))
+        return pa.table(
+            {"src": pa.array(bids[ri], pa.int64()),
+             "dst": pa.array(cids[ci], pa.int64())}
+        )
+
+    return ds.map_batches(_pairs, batch_format="pyarrow", batch_size=1024)
+
+
 def incremental_match_audit(sf_dir: str, split: int = 100, threshold: float = 0.5):
     """Exact audit of the incremental batch-vs-corpus matcher: pairs with
     Jaccard ≥ threshold where one side is a 'new batch' doc (doc_id < split)

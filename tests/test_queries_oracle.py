@@ -143,6 +143,32 @@ def test_asof_range_join_no_click_user(entrymod, tmp_path):
         _compare(ray_df, sql_df, name)
 
 
+def test_top_tokens_unicode_oracle_parity(entrymod, tmp_path):
+    """Regression (ADVICE r1): the top_tokens tokenizer must agree with its
+    DuckDB oracle on NON-ASCII corpora, not just the all-ASCII testdata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "Crème brûlée und Straße — déjà vu naïve façade 42",
+        "Ωμέγα καφές and café CAFÉ cafe",
+        "日本語テキスト mixed with ascii tokens tokens",
+        "ñandú piñata jalapeño 7up 7up 7up",
+    ] * 3
+    tbl = pa.table(
+        {"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ray_df = _to_pandas(entrymod.queries()["top_tokens"](str(tmp_path)))
+    sql_df = c.execute(entrymod.oracle_sql()["top_tokens"]).fetchdf()
+    _compare(ray_df, sql_df, "top_tokens_unicode")
+
+
 def test_entry_smoke(entrymod):
     df = _to_pandas(entrymod.entry())
     assert len(df) >= 500  # sf0.001 documents → >= 500 pages
