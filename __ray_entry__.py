@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compare_lookup_audit": Q.compare_lookup_audit,
         "incremental_match_audit": Q.incremental_match_audit,
         "embedding_neardup_audit": Q.embedding_neardup_audit,
+        "doc_repetition_stats": Q.doc_repetition_stats,
     }
 
 
@@ -126,6 +127,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa.doc_id = src "
             "JOIN sizes sb ON sb.doc_id = dst "
             "WHERE i::DOUBLE / least(sa.n, sb.n) >= 0.8"
+        ),
+        "doc_repetition_stats": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "base AS (SELECT doc_id, len(t) AS n_tokens, "
+            "len(list_distinct(t)) AS n_distinct FROM tok), "
+            "g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram "
+            "FROM tok, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2), "
+            "gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram), "
+            "top AS (SELECT doc_id, max(c) AS top_n, CAST(sum(c) AS BIGINT) AS ng "
+            "FROM gc GROUP BY doc_id) "
+            "SELECT b.doc_id, COALESCE(ng, 0) AS n_2grams, "
+            "CAST(COALESCE(top_n, 0) AS BIGINT) AS top_2gram_n, "
+            "CASE WHEN COALESCE(ng, 0) = 0 THEN 0.0 "
+            "ELSE CAST(top_n AS DOUBLE) / ng END AS top_2gram_frac, "
+            "CASE WHEN n_tokens = 0 THEN 0.0 "
+            "ELSE CAST(n_distinct AS DOUBLE) / n_tokens END AS distinct_frac "
+            "FROM base b LEFT JOIN top USING (doc_id)"
         ),
         "embedding_neardup_audit": (
             "SELECT a.vec_id AS src, b.vec_id AS dst FROM embeddings a "

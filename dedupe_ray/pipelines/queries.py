@@ -1365,6 +1365,51 @@ def compare_lookup_audit(sf_dir: str, target_doc: int = 0, threshold: float = 0.
     return docs.map_batches(_score, batch_format="pyarrow", batch_size=256)
 
 
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1:
+    repetitious documents are low-quality training data): most-frequent
+    word-2-gram fraction and distinct-token fraction. SQL-oracled; the two
+    float columns are single IEEE divisions of exact ints (bit-identical).
+    Tokenizer = the audit-family ASCII regex shared with the oracle."""
+    import re
+
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        n_2grams, top_n, top_frac, distinct_frac = [], [], [], []
+        for text in batch.column("text").to_pylist():
+            toks = pat.findall((text or "").lower())
+            nt = len(toks)
+            if nt >= 2:
+                arr = np.asarray(toks, dtype=object)
+                grams = np.char.add(
+                    np.char.add(arr[:-1].astype(str), " "), arr[1:].astype(str)
+                )
+                _, counts = np.unique(grams, return_counts=True)
+                ng = nt - 1
+                tn = int(counts.max())
+            else:
+                ng, tn = 0, 0
+            n_2grams.append(ng)
+            top_n.append(tn)
+            top_frac.append(float(tn) / ng if ng else 0.0)
+            nd = len(set(toks))
+            distinct_frac.append(float(nd) / nt if nt else 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_2grams": pa.array(n_2grams, pa.int64()),
+                "top_2gram_n": pa.array(top_n, pa.int64()),
+                "top_2gram_frac": pa.array(top_frac, pa.float64()),
+                "distinct_frac": pa.array(distinct_frac, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_stats, batch_format="pyarrow", batch_size=256)
+
+
 def embedding_neardup_audit(sf_dir: str, threshold: float = 0.42):
     """Exact all-pairs cosine near-dup audit over the embeddings table:
     (src, dst) with cosine ≥ threshold, src < dst — the SQL-oracled
