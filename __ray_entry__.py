@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": Q.media_features,
         "neardup_docs_ngram_jaccard": Q.neardup_docs_ngram_jaccard,
         "ann_srp_topk": Q.ann_srp_topk,
+        "ann_ivf_topk": Q.ann_ivf_topk,
         "cluster_groups": Q.cluster_groups,
         "incremental_match_docs": Q.incremental_match_docs,
         "containment_docs": Q.containment_docs,

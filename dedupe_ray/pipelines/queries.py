@@ -644,6 +644,30 @@ def ann_srp_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     return out.set_column(0, "query_id", mapped).select(["query_id", "rank", "vec_id"])
 
 
+def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, nprobe: int = 4):
+    """IVF-bucketed ANN (inverted-file scale path) — same queries as
+    ``embedding_topk``; nprobe=n_lists degrades to exact (pinned by tests)."""
+    from dedupe_ray.stages.ann import ivf_topk
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = pa.concat_tables(
+        list(
+            ds.map_batches(
+                lambda b: b.filter(pc.less(b.column("vec_id"), n_queries)),
+                batch_format="pyarrow",
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    ).sort_by("vec_id")
+    qmat = (
+        q.column("embedding").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .astype(np.float64).reshape(n_queries, -1)
+    )
+    out = ivf_topk(ds, qmat, dim=qmat.shape[1], k=k, nprobe=nprobe)
+    qids = q.column("vec_id").to_numpy(zero_copy_only=False)
+    mapped = pa.array(qids[out.column("query_id").to_numpy(zero_copy_only=False)], pa.int64())
+    return out.set_column(0, "query_id", mapped).select(["query_id", "rank", "vec_id"])
+
+
 def cluster_groups(sf_dir: str):
     """Grouped duplicate export — the reference's CSV one-row-per-group sink
     (K1, /root/reference/cmd/dedupe/main.go:194-206) as a table of

@@ -24,7 +24,10 @@ import pyarrow as pa
 import ray
 import ray.data
 
-__all__ = ["brute_force_topk", "srp_bucket_topk", "srp_codes64", "embedding_neardup_edges"]
+__all__ = [
+    "brute_force_topk", "srp_bucket_topk", "srp_codes64",
+    "ivf_train_centroids", "ivf_topk", "embedding_neardup_edges",
+]
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -80,25 +83,7 @@ def brute_force_topk(
         )
     )
     # driver-side merge of partials: tiny (Q × kk × n_batches rows)
-    qid = parts.column("query_id").to_numpy(zero_copy_only=False)
-    vid = parts.column("vec_id").to_numpy(zero_copy_only=False)
-    sim = parts.column("similarity").to_numpy(zero_copy_only=False)
-    out_q, out_r, out_v, out_s = [], [], [], []
-    for quid in np.unique(qid):
-        m = qid == quid
-        order = np.lexsort((vid[m], -sim[m]))[:k]
-        out_q.extend([int(quid)] * len(order))
-        out_r.extend(range(1, len(order) + 1))
-        out_v.extend(vid[m][order].tolist())
-        out_s.extend(sim[m][order].tolist())
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            "rank": pa.array(out_r, pa.int64()),
-            "vec_id": pa.array(out_v, pa.int64()),
-            "similarity": pa.array(out_s, pa.float64()),
-        }
-    )
+    return _merge_topk_partials(parts, k)
 
 
 def srp_codes64(
@@ -207,6 +192,124 @@ def srp_bucket_topk(
                       "vec_id": pa.array([], pa.int64()),
                       "similarity": pa.array([], pa.float64())})]
     )
+    return _merge_topk_partials(parts, k)
+
+
+def ivf_train_centroids(
+    embeddings: "ray.data.Dataset",
+    dim: int,
+    n_lists: int = 16,
+    iters: int = 8,
+    sample_mod: int = 4,
+    seed: int = 777,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF: train on a deterministic
+    hash-mod sample (reproducible across runs and partitionings — the same
+    rationale as ``sample_docs``). Lloyd iterations run driver-side on the
+    (small) sample; at 100 TB the sample stays a fixed-size driver array
+    while assignment is distributed. Returns L2-normalized (n_lists, dim)."""
+    import pyarrow.compute as pc
+
+    sample = pa.concat_tables(
+        list(
+            embeddings.map_batches(
+                lambda b: b.filter(
+                    pc.equal(pc.bit_wise_and(b.column(id_col), sample_mod - 1), 0)
+                ),
+                batch_format="pyarrow", batch_size=None,
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    ).sort_by(id_col)  # block-structure-independent training order
+    x = _normalize(_batch_matrix(sample, vec_col).astype(np.float64))
+    if len(x) < n_lists:
+        raise ValueError(f"sample of {len(x)} vectors < n_lists={n_lists}")
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def ivf_topk(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 777,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF approximate top-k — the inverted-file scale path: vectors are
+    assigned to their nearest of ``n_lists`` centroids; each query scores
+    only the rows in its ``nprobe`` closest lists. ``nprobe == n_lists``
+    degrades to exact brute force (the invariant the tests pin). Same
+    output schema as ``brute_force_topk``; recall tunes with nprobe.
+
+    At cluster scale the list assignment becomes the partitioning key
+    (write one parquet dir per list); here assignment happens on the fly in
+    the same streaming pass that scores, so the corpus still never shuffles.
+    """
+    cents = ivf_train_centroids(
+        embeddings, dim, n_lists=n_lists, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    ref = ray.put((cents, q, probe))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cm, qm, pr = ray.get(ref)
+        mat = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        assign = np.argmax(mat @ cm.T, axis=1)  # (n,)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qm)):
+            cand = np.flatnonzero(np.isin(assign, pr[qi]))
+            if len(cand) == 0:
+                continue
+            sims = mat[cand] @ qm[qi]
+            kk = min(k, len(cand))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(ids[cand[top]])
+            out_s.append(sims[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "similarity": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "similarity": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            embeddings.map_batches(_partial, batch_format="pyarrow", batch_size=4096)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "similarity": pa.array([], pa.float64())})]
+    )
+    return _merge_topk_partials(parts, k)
+
+
+def _merge_topk_partials(parts: pa.Table, k: int) -> pa.Table:
+    """Driver merge of (query_id, vec_id, similarity) partials → ranked
+    top-k. Shared by the brute-force / SRP / IVF paths."""
     qid = parts.column("query_id").to_numpy(zero_copy_only=False)
     vid = parts.column("vec_id").to_numpy(zero_copy_only=False)
     sim = parts.column("similarity").to_numpy(zero_copy_only=False)

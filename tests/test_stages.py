@@ -55,6 +55,45 @@ class TestBruteForceTopk:
         assert a.equals(b)
 
 
+class TestIvfTopk:
+    def test_full_probe_equals_brute_force(self, ray_session):
+        """nprobe == n_lists must degrade to EXACT top-k (the IVF plumbing
+        invariant: partition + merge loses nothing when every list is
+        scanned)."""
+        from dedupe_ray.stages.ann import brute_force_topk, ivf_topk
+
+        ds, mat = _embeddings_ds(ray_session)
+        q = mat[:3].astype(np.float64)
+        exact = brute_force_topk(ds, q, k=5)
+        full = ivf_topk(ds, q, dim=mat.shape[1], k=5, n_lists=8, nprobe=8)
+        assert full.column("vec_id").to_pylist() == exact.column("vec_id").to_pylist()
+        assert full.column("rank").to_pylist() == exact.column("rank").to_pylist()
+
+    def test_partial_probe_recall_and_block_invariance(self, ray_session):
+        from dedupe_ray.stages.ann import brute_force_topk, ivf_topk
+
+        ds, mat = _embeddings_ds(ray_session)
+        q = mat[:3].astype(np.float64)
+        exact = brute_force_topk(ds, q, k=10)
+        approx = ivf_topk(ds, q, dim=mat.shape[1], k=10, n_lists=8, nprobe=3)
+        hits = 0
+        for qi in range(3):
+            e = set(
+                exact.filter(pa.compute.equal(exact.column("query_id"), qi))
+                .column("vec_id").to_pylist()
+            )
+            a = set(
+                approx.filter(pa.compute.equal(approx.column("query_id"), qi))
+                .column("vec_id").to_pylist()
+            )
+            assert qi in a  # the query's own vector lives in its top list
+            hits += len(e & a)
+        assert hits / 30 >= 0.3  # recall floor at 3/8 of the lists probed
+        # deterministic across block structures
+        b = ivf_topk(ds.repartition(13), q, dim=mat.shape[1], k=10, n_lists=8, nprobe=3)
+        assert approx.equals(b)
+
+
 class TestSrpCodes:
     def test_deterministic_and_similarity_preserving(self, ray_session):
         from dedupe_ray.functions.metrics import hamming64
