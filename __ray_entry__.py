@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_docs": Q.containment_docs,
         "training_corpus": Q.training_corpus,
         "distinct_users_hll": Q.distinct_users_hll,
+        "distinct_users_exact": Q.distinct_users_exact,
         # --- SQL-oracled exact audits of the near-dup family ---------------
         "neardup_docs_jaccard_audit": Q.neardup_docs_jaccard_audit,
         "neardup_docs_clusters_audit": Q.neardup_docs_clusters_audit,
@@ -128,6 +129,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa.doc_id = src "
             "JOIN sizes sb ON sb.doc_id = dst "
             "WHERE i::DOUBLE / least(sa.n, sb.n) >= 0.8"
+        ),
+        "distinct_users_exact": (
+            "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events"
         ),
         "doc_repetition_stats": (
             "WITH tok AS (SELECT doc_id, "

@@ -235,6 +235,69 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build (or resume) the persisted LSH band index for a corpus — the
+    durable half of incremental matching."""
+    import hashlib
+    import os
+
+    from dedupe_ray.pipelines.incremental import build_band_index
+    from dedupe_ray.sources import read_pages
+
+    _init_ray(args.num_cpus)
+    cfg = _config(args)
+    paths = _expand(args.input, recursive=not args.no_recursive)
+    stat_parts = []
+    for p in paths:
+        st = os.stat(p)
+        stat_parts.append(f"{p}:{st.st_size}:{int(st.st_mtime)}")
+    fingerprint = hashlib.sha256("|".join(stat_parts).encode()).hexdigest()[:16]
+    corpus = read_pages(paths)
+    metrics = build_band_index(
+        corpus, args.index_dir, cfg, extract=not args.no_extract,
+        input_fingerprint=fingerprint,
+    )
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
+def cmd_match(args) -> int:
+    """Match a new batch of pages against a persisted band index — the
+    batch-generalized ``Compare`` (corpus is never re-signed)."""
+    import os
+
+    from dedupe_ray.pipelines.incremental import incremental_match_indexed
+    from dedupe_ray.sources import read_pages
+
+    _init_ray(args.num_cpus)
+    cfg = _config(args)
+    if not os.path.exists(os.path.join(args.index_dir, "bands", "_LINEAGE.json")):
+        print(f"error: no band index at {args.index_dir!r} (run `index` first)",
+              file=sys.stderr)
+        return 2
+    new_pages = read_pages(_expand(args.input, recursive=not args.no_recursive))
+    out = incremental_match_indexed(
+        new_pages, args.index_dir, cfg, extract=not args.no_extract
+    )
+    status = out["new_status"]
+    if args.output:
+        import pyarrow.parquet as pq
+
+        os.makedirs(args.output, exist_ok=True)
+        pq.write_table(status, os.path.join(args.output, "new_status.parquet"))
+        pq.write_table(out["edges"], os.path.join(args.output, "edges.parquet"))
+        n_dup = sum(d is not None for d in status.column("duplicate_of").to_pylist())
+        print(json.dumps({"new": status.num_rows, "duplicates": n_dup,
+                          "edges": out["edges"].num_rows, "output": args.output}))
+    else:
+        for url, dup in zip(
+            status.column("url").to_pylist(),
+            status.column("duplicate_of").to_pylist(),
+        ):
+            print(f"{url}\t{'fresh' if dup is None else f'dup_of={dup}'}")
+    return 0
+
+
 def cmd_stats(args) -> int:
     import pyarrow as pa
     import ray.data
@@ -303,6 +366,18 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats", parents=[common])
     s.add_argument("--output", default=None)
     s.set_defaults(fn=cmd_stats)
+
+    ix = sub.add_parser("index", parents=[common],
+                        help="build/resume the persisted LSH band index")
+    ix.add_argument("--index-dir", required=True)
+    ix.set_defaults(fn=cmd_index)
+
+    mt = sub.add_parser("match", parents=[common],
+                        help="match a new batch against a persisted index")
+    mt.add_argument("--index-dir", required=True)
+    mt.add_argument("--output", default=None,
+                    help="write new_status/edges parquet here instead of stdout")
+    mt.set_defaults(fn=cmd_match)
 
     args = p.parse_args(argv)
     return args.fn(args)

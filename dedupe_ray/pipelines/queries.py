@@ -1086,21 +1086,46 @@ def training_corpus(sf_dir: str):
 
     class _Enrich:
         def __init__(self):
+            import re
+
             self.ident = LangIdentifier()
+            self.tok = re.compile(_ASCII_TOKEN_RE_SRC)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             preds = self.ident.predict_batch(batch.column("text").to_pylist())
             batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
             q = quality_score_table(batch.column("text"))
-            return batch.append_column("quality_score", q["quality_score"])
+            batch = batch.append_column("quality_score", q["quality_score"])
+            # Gopher-style repetition signal (same kernel as
+            # doc_repetition_stats): fraction of 2-grams that are the single
+            # most frequent one — word-salad spam scores high
+            fracs = []
+            for text in batch.column("text").to_pylist():
+                toks = self.tok.findall((text or "").lower())
+                if len(toks) >= 2:
+                    arr = np.asarray(toks, dtype=object)
+                    grams = np.char.add(
+                        np.char.add(arr[:-1].astype(str), " "), arr[1:].astype(str)
+                    )
+                    _, counts = np.unique(grams, return_counts=True)
+                    fracs.append(float(counts.max()) / (len(toks) - 1))
+                else:
+                    fracs.append(0.0)
+            return batch.append_column(
+                "top_2gram_frac", pa.array(fracs, pa.float64())
+            )
 
     enriched = pages.map_batches(_Enrich, batch_format="pyarrow", batch_size=None,
                                  concurrency=(1, 8))
 
     def _quality_gate(batch: pa.Table) -> pa.Table:
         keep = pc.and_(
-            pc.greater(batch.column("quality_score"), 0.3),
-            pc.invert(pc.equal(batch.column("lang_pred"), "und")),
+            pc.and_(
+                pc.greater(batch.column("quality_score"), 0.3),
+                pc.invert(pc.equal(batch.column("lang_pred"), "und")),
+            ),
+            # repetition gate: drop documents dominated by one 2-gram
+            pc.less(batch.column("top_2gram_frac"), 0.2),
         )
         return batch.filter(keep)
 
@@ -1138,6 +1163,28 @@ def training_corpus(sf_dir: str):
         batch_size=None,
     )
     return survivors
+
+
+def distinct_users_exact(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) — the ground-truth companion to
+    ``distinct_users_hll``: per-batch unique partials shrink the stream
+    before the one distinct shuffle; only unique ids move."""
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+
+    def _local_unique(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("user_id").to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    partials = ds.map_batches(_local_unique, batch_format="pyarrow", batch_size=None)
+
+    def _first(block: pa.Table) -> pa.Table:
+        u = np.unique(block.column("user_id").to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    n = sorted_group_apply(partials, "user_id", _first).count()
+    return pa.table({"n_users": pa.array([n], pa.int64())})
 
 
 def distinct_users_hll(sf_dir: str):

@@ -159,6 +159,41 @@ def test_band_index_persist_and_match_without_reextraction(
     assert dup.mean() >= 0.95, dup.mean()
 
 
+def test_cli_index_then_match(ray_session, pages_parquet, tmp_path, capsys):
+    from dedupe_ray.cli import main
+
+    idx = str(tmp_path / "idx")
+    rc = main(["index", "--input", pages_parquet, "--index-dir", idx])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out)
+    assert not m["signatures"].get("resumed") and m["bands"]["rows"] > 0
+
+    # second index run resumes
+    rc = main(["index", "--input", pages_parquet, "--index-dir", idx])
+    assert rc == 0
+    m2 = json.loads(capsys.readouterr().out)
+    assert m2["signatures"].get("resumed") and m2["bands"].get("resumed")
+
+    # increment: copies of the first pages under new urls
+    src = pq.read_table(pages_parquet).slice(0, 15)
+    inc = src.set_column(
+        src.schema.get_field_index("url"), "url",
+        pa.array([u + "?new" for u in src.column("url").to_pylist()], pa.string()),
+    )
+    inc_path = str(tmp_path / "inc.parquet")
+    pq.write_table(inc, inc_path)
+    out_dir = str(tmp_path / "match_out")
+    rc = main(["match", "--input", inc_path, "--index-dir", idx, "--output", out_dir])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["new"] == 15 and res["duplicates"] >= 14
+    assert pq.read_table(f"{out_dir}/new_status.parquet").num_rows == 15
+
+    # match against a missing index is a clean exit-2 error
+    rc = main(["match", "--input", inc_path, "--index-dir", str(tmp_path / "nope")])
+    assert rc == 2
+
+
 def test_empty_stage_checkpoint_roundtrip(ray_session, pages_parquet, tmp_path):
     """A stage producing ZERO rows (e.g. nothing quarantined) must still
     commit a readable checkpoint and resume cleanly."""
