@@ -195,19 +195,37 @@ def events_user_stats(sf_dir: str):
 
 def events_hourly_window(sf_dir: str):
     """Tumbling 1-hour event-time window per event_type (streaming-shaped
-    workload expressed as groupby over a derived window key)."""
+    workload expressed as groupby over a derived window key). Each batch
+    collapses to one row per (type, hour) BEFORE the shuffle — the partial
+    pre-aggregation pattern (same as lineitem_agg): the exchange moves
+    per-batch partials, not events."""
+    from ray.data.aggregate import Sum
+
     ds = read_table(sf_dir, "events", ["event_type", "ts"])
 
-    def _win(batch: pa.Table) -> pa.Table:
+    def _partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
-        return pa.table({"event_type": batch.column("event_type"), "hour": hour})
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "hour": hour}
+        ).group_by(["event_type", "hour"]).aggregate([([], "count_all")])
+        ren = {"count_all": "p_n"}
+        return t.rename_columns([ren.get(c, c) for c in t.column_names])
 
-    return (
-        ds.map_batches(_win, batch_format="pyarrow", batch_size=65536)
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
         .groupby(["event_type", "hour"])
-        .count()
-        .rename_columns({"count()": "n"})
+        .aggregate(Sum("p_n", alias_name="n"))
     )
+
+    def _restore_us(batch: pa.Table) -> pa.Table:
+        # the aggregate round-trip downcasts the derived hour to timestamp[s];
+        # restore µs so the schema matches the raw-ts oracle exactly
+        i = batch.column_names.index("hour")
+        return batch.set_column(
+            i, "hour", batch.column("hour").cast(pa.timestamp("us"))
+        )
+
+    return out.map_batches(_restore_us, batch_format="pyarrow", batch_size=None)
 
 
 def distinct_mktsegment(sf_dir: str):
