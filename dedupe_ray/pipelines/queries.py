@@ -185,11 +185,28 @@ def lineitem_agg(sf_dir: str):
 
 
 def events_user_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Min
+    """Per-user event stats with partial pre-aggregation: each batch
+    collapses to one row per user before the shuffle (count→sum of partial
+    counts, min/max compose)."""
+    from ray.data.aggregate import Max, Min, Sum
 
     ds = read_table(sf_dir, "events", ["user_id", "ts"])
-    return ds.groupby("user_id").aggregate(
-        Count(alias_name="n"), Min("ts", alias_name="first_ts"), Max("ts", alias_name="last_ts")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("user_id").aggregate(
+            [("ts", "count"), ("ts", "min"), ("ts", "max")]
+        )
+        ren = {"ts_count": "p_n", "ts_min": "p_min", "ts_max": "p_max"}
+        return t.rename_columns([ren.get(c, c) for c in t.column_names])
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("user_id")
+        .aggregate(
+            Sum("p_n", alias_name="n"),
+            Min("p_min", alias_name="first_ts"),
+            Max("p_max", alias_name="last_ts"),
+        )
     )
 
 
