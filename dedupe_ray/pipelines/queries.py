@@ -1323,30 +1323,80 @@ def _exact_pair_scores(sf_dir: str, shingle_size: int = 3) -> "ray.data.Dataset"
     sizes_ref = ray.put((size_ids, size_ns))
 
     def _emit(block: pa.Table) -> pa.Table:
-        s = block.column("s").to_numpy(zero_copy_only=False)
+        s = np.asarray(block.column("s").to_pylist(), dtype=object)
         ids = block.column("doc_id").to_numpy(zero_copy_only=False)
-        _, starts, counts = np.unique(s, return_index=True, return_counts=True)
-        srcs: list[np.ndarray] = []
-        dsts: list[np.ndarray] = []
-        multi = counts >= 2
-        for st, c in zip(starts[multi], counts[multi]):
-            members = np.sort(ids[st : st + c])
-            iu, ju = np.triu_indices(len(members), k=1)
-            srcs.append(members[iu])
-            dsts.append(members[ju])
-        if not srcs:
+        # FULLY vectorized within-run pair emission (no per-shingle Python
+        # loop — 27k tiny groups at sf0.1 made the loop the bottleneck):
+        # sort rows by (shingle, doc_id); each row, as the pair's dst,
+        # contributes one pair with every EARLIER member of its run.
+        order = np.lexsort((ids, s))
+        s_s, ids_s = s[order], ids[order]
+        n = len(ids_s)
+        if n == 0:
             return pa.table(
-                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+                 "pc": pa.array([], pa.int64())}
             )
+        run_start_flag = np.r_[True, s_s[1:] != s_s[:-1]]
+        run_id = np.cumsum(run_start_flag) - 1
+        run_starts = np.flatnonzero(run_start_flag)
+        lj = np.arange(n) - run_starts[run_id]  # local index within run
+        total = int(lj.sum())
+        if total == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+                 "pc": pa.array([], pa.int64())}
+            )
+        dst_idx = np.repeat(np.arange(n), lj)
+        block_starts = np.cumsum(lj) - lj
+        ramp = np.arange(total) - np.repeat(block_starts, lj)
+        src_idx = np.repeat(np.arange(n) - lj, lj) + ramp
+        src = ids_s[src_idx]
+        dst = ids_s[dst_idx]
+        # WITHIN-BLOCK partial count: the same doc pair fires once per shared
+        # shingle, and a sorted block holds many shingles — collapsing here
+        # shrinks the pair shuffle by the average co-occurrence multiplicity
+        if len(src) and src.max() < (1 << 31) and dst.max() < (1 << 31):
+            combo = (src.astype(np.int64) << 32) | dst.astype(np.int64)
+            uniq, cnt = np.unique(combo, return_counts=True)
+            src, dst = uniq >> 32, uniq & 0x7FFFFFFF
+        else:  # doc ids outside the packable range: 2-column unique
+            stacked = np.stack([src, dst], axis=1)
+            uniq2, cnt = np.unique(stacked, axis=0, return_counts=True)
+            src, dst = uniq2[:, 0], uniq2[:, 1]
         return pa.table(
-            {"src": pa.array(np.concatenate(srcs), pa.int64()),
-             "dst": pa.array(np.concatenate(dsts), pa.int64())}
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+             "pc": pa.array(cnt.astype(np.int64), pa.int64())}
         )
 
     from dedupe_ray.stages.groupapply import sorted_group_apply
 
     pairs = sorted_group_apply(rows, "s", _emit)
-    inter = pairs.groupby(["src", "dst"]).count()
+
+    # Global intersection counts via one composite-key sort + vectorized
+    # reduceat per block — Ray's generic two-key groupby().aggregate() costs
+    # >10 s on this shape (per-key reduce overhead); this is the same
+    # sorted_group_apply pattern the rest of the engine uses, at ~1 s.
+    def _sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+                 "i": pa.array([], pa.int64())}
+            )
+        src = block.column("src").to_numpy(zero_copy_only=False)
+        dst = block.column("dst").to_numpy(zero_copy_only=False)
+        pc_ = block.column("pc").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+        )
+        i = np.add.reduceat(pc_, starts)
+        return pa.table(
+            {"src": pa.array(src[starts], pa.int64()),
+             "dst": pa.array(dst[starts], pa.int64()),
+             "i": pa.array(i.astype(np.int64), pa.int64())}
+        )
+
+    inter = sorted_group_apply(pairs, ["src", "dst"], _sum_block)
 
     def _attach_sizes(batch: pa.Table) -> pa.Table:
         ids_sorted, ns = ray.get(sizes_ref)
@@ -1357,7 +1407,7 @@ def _exact_pair_scores(sf_dir: str, shingle_size: int = 3) -> "ray.data.Dataset"
         return pa.table(
             {"src": batch.column("src"), "dst": batch.column("dst"),
              "i": pa.array(
-                 batch.column("count()").to_numpy(zero_copy_only=False).astype(np.int64),
+                 batch.column("i").to_numpy(zero_copy_only=False).astype(np.int64),
                  pa.int64()),
              "na": pa.array(na, pa.int64()), "nb": pa.array(nb, pa.int64())}
         )
