@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": Q.events_hourly_window,
         "distinct_mktsegment": Q.distinct_mktsegment,
         "orders_lineitem_join": Q.orders_lineitem_join,
+        "orders_lineitem_join_sm": Q.orders_lineitem_join_sm,
         "top_lineitems_per_order": Q.top_lineitems_per_order,
         "user_sessions": Q.user_sessions,
         "events_asof_join": Q.events_asof_join,
@@ -260,6 +261,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(text) > 0 AS BOOLEAN) AS decode_ok FROM documents"
         ),
         "orders_lineitem_join": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "orders_lineitem_join_sm": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
         ),

@@ -791,6 +791,28 @@ def orders_lineitem_join(sf_dir: str):
     return joined.select_columns(["l_orderkey", "l_linenumber", "l_quantity", "o_orderdate"])
 
 
+def orders_lineitem_join_sm(sf_dir: str):
+    """The same large-large join expressed as the engine's custom
+    SORT-MERGE operator (one union + one sort + vectorized per-block merge,
+    `stages/joins.py`) — no join-aggregator actor pool to spin up; compare
+    with `orders_lineitem_join` (native `Dataset.join`)."""
+    from dedupe_ray.stages.joins import sort_merge_join
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    joined = sort_merge_join(orders, li, left_on="o_orderkey", right_on="l_orderkey")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_orderkey": batch.column("o_orderkey"),
+             "l_linenumber": batch.column("l_linenumber"),
+             "l_quantity": batch.column("l_quantity"),
+             "o_orderdate": batch.column("o_orderdate")}
+        )
+
+    return joined.map_batches(_shape, batch_format="pyarrow", batch_size=None)
+
+
 def top_lineitems_per_order(sf_dir: str):
     """Window-function analog: top-2 lineitems per order by quantity
     (rank over partition), vectorized over sorted blocks."""

@@ -120,6 +120,44 @@ class TestSrpCodes:
         assert d_close < 10 < d_rand
 
 
+class TestSortMergeJoin:
+    def test_inner_semantics_and_multiplicity(self, ray_session):
+        import ray.data
+
+        from dedupe_ray.stages.joins import sort_merge_join
+
+        left = ray.data.from_arrow(pa.table(
+            {"k": pa.array([1, 2, 2, 3, 5], pa.int64()),
+             "lv": pa.array(["a", "b", "c", "d", "e"], pa.string())}
+        ))
+        right = ray.data.from_arrow(pa.table(
+            {"rk": pa.array([2, 2, 3, 4], pa.int64()),
+             "rv": pa.array([10, 20, 30, 40], pa.int64())}
+        ))
+        out = pa.concat_tables(
+            list(
+                sort_merge_join(left, right, left_on="k", right_on="rk")
+                .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            )
+        ).sort_by([("k", "ascending"), ("lv", "ascending"), ("rv", "ascending")])
+        # k=2: 2 left × 2 right = 4 rows; k=3: 1×1; k=1,5 (left-only) and
+        # k=4 (right-only) drop — inner-join semantics
+        assert out.column("k").to_pylist() == [2, 2, 2, 2, 3]
+        assert out.column("lv").to_pylist() == ["b", "b", "c", "c", "d"]
+        assert out.column("rv").to_pylist() == [10, 20, 10, 20, 30]
+
+    def test_column_collision_rejected(self, ray_session):
+        import pytest as _pytest
+        import ray.data
+
+        from dedupe_ray.stages.joins import sort_merge_join
+
+        left = ray.data.from_arrow(pa.table({"k": [1], "v": [1]}))
+        right = ray.data.from_arrow(pa.table({"k": [1], "v": [2]}))
+        with _pytest.raises(ValueError, match="collision"):
+            sort_merge_join(left, right, left_on="k")
+
+
 class TestMultimodal:
     def test_fake_decode_pipeline(self, ray_session):
         import ray.data
