@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": Q.lineitem_agg,
         "events_user_stats": Q.events_user_stats,
         "events_hourly_window": Q.events_hourly_window,
+        "events_sliding_window": Q.events_sliding_window,
         "distinct_mktsegment": Q.distinct_mktsegment,
         "orders_lineitem_join": Q.orders_lineitem_join,
         "orders_lineitem_join_sm": Q.orders_lineitem_join_sm,
@@ -237,6 +238,13 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_window": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "events_sliding_window": (
+            "WITH e AS (SELECT event_type, "
+            "time_bucket(INTERVAL '15 minutes', ts) AS b FROM events) "
+            "SELECT event_type, b - (k * INTERVAL '15 minutes') AS window_start, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM e, UNNEST([0, 1, 2, 3]) AS u(k) GROUP BY 1, 2"
         ),
         "distinct_mktsegment": "SELECT DISTINCT c_mktsegment FROM customer",
         "sample_docs": (

@@ -245,6 +245,56 @@ def events_hourly_window(sf_dir: str):
     return out.map_batches(_restore_us, batch_format="pyarrow", batch_size=None)
 
 
+def events_sliding_window(sf_dir: str):
+    """SLIDING (hopping) windowed aggregate: events per event_type per
+    1-hour window hopping every 15 minutes. Each event lands in 4 windows;
+    the expansion happens on per-batch PARTIALS (one row per (type, 15-min
+    bucket) per batch), so the shuffle moves bucket partials ×4, never
+    events. window_start = bucket - k·15min for k ∈ 0..3."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", ["event_type", "ts"])
+    hop_us = 15 * 60 * 1_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        b15 = pc.floor_temporal(batch.column("ts"), multiple=15, unit="minute")
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "b": b15}
+        ).group_by(["event_type", "b"]).aggregate([([], "count_all")])
+        ren = {"count_all": "p_n"}
+        t = t.rename_columns([ren.get(c, c) for c in t.column_names])
+        et = t.column("event_type")
+        bi = t.column("b").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        pn = t.column("p_n")
+        parts = []
+        for k in range(4):
+            parts.append(
+                pa.table(
+                    {"event_type": et,
+                     "window_start": pa.array(bi - k * hop_us, pa.int64()),
+                     "p_n": pn}
+                )
+            )
+        return pa.concat_tables(parts)
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def _ts(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("window_start")
+        return batch.set_column(
+            i, "window_start",
+            batch.column("window_start").cast(pa.timestamp("us")),
+        )
+
+    return out.map_batches(_ts, batch_format="pyarrow", batch_size=None)
+
+
 def distinct_mktsegment(sf_dir: str):
     ds = read_table(sf_dir, "customer", ["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
