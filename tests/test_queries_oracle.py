@@ -169,6 +169,53 @@ def test_top_tokens_unicode_oracle_parity(entrymod, tmp_path):
     _compare(ray_df, sql_df, "top_tokens_unicode")
 
 
+def test_jaccard_audit_matches_bruteforce_on_random_corpora(entrymod, tmp_path):
+    """The exact-pair audit pipeline (shared-shingle blocking + distributed
+    intersection counts) must equal a naive driver brute force on random
+    corpora — including pathological repetition and short docs."""
+    import itertools
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pat = re.compile(r"[a-z0-9]+")
+    for seed in (7, 23, 99):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(15)]
+        texts = []
+        for _ in range(60):
+            n = int(rng.integers(0, 25))
+            texts.append(" ".join(rng.choice(vocab, size=n)))
+        # plant true near-dups: suffix-extended copies of the first docs
+        for i in range(8):
+            texts.append(texts[i] + " w0 w1")
+        d = tmp_path / f"corp{seed}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            str(d / "documents.parquet"),
+        )
+        got = _to_pandas(entrymod.queries()["neardup_docs_jaccard_audit"](str(d)))
+        got_pairs = (
+            set(zip(got["src"].tolist(), got["dst"].tolist()))
+            if "src" in got.columns else set()
+        )
+        # driver brute force
+        sets = [
+            {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+            for toks in (pat.findall(t.lower()) for t in texts)
+        ]
+        exp = set()
+        for a, b in itertools.combinations(range(len(texts)), 2):
+            u = sets[a] | sets[b]
+            if u and len(sets[a] & sets[b]) / len(u) >= 0.5:
+                exp.add((a, b))
+        assert got_pairs == exp, f"seed {seed}"
+
+
 def test_entry_smoke(entrymod):
     df = _to_pandas(entrymod.entry())
     assert len(df) >= 500  # sf0.001 documents → >= 500 pages
