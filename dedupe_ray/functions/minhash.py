@@ -20,7 +20,6 @@ _MERSENNE61 = np.uint64((1 << 61) - 1)
 
 
 _OPH_EMPTY = np.uint64(1) << np.uint64(63)
-_OPH_C = np.uint64(0x9E3779B1)  # odd offset decorrelating densified copies
 
 
 class MinHasher:
@@ -31,11 +30,13 @@ class MinHasher:
 
     ``scheme="kperm"`` (default): classic K independent multiply-shift
     permutations — O(K) work per shingle.
-    ``scheme="oph"``: one-permutation hashing with circular rotation
-    densification (Li/Owen/Zhang 2012; Shrivastava & Li 2014) — each shingle
-    hashes ONCE into one of K bins (O(1) per shingle, ~K× cheaper on long
-    documents); empty bins borrow circularly with a distance offset. Same
-    (K,) uint32 signature shape, so banding/verification are unchanged.
+    ``scheme="oph"``: one-permutation hashing (Li/Owen/Zhang 2012) with
+    OPTIMAL densification (Shrivastava, ICML 2017) — each shingle hashes
+    ONCE into one of K bins (O(1) per shingle, ~K× cheaper on long
+    documents); empty bins borrow from a double-hash probe sequence so
+    adjacent densified bins stay independent (circular fill made LSH band
+    keys collapse onto one source bin for short docs → candidate explosion).
+    Same (K,) uint32 signature shape, so banding/verification are unchanged.
     Estimates have somewhat higher variance for documents with ≪ K shingles.
     """
 
@@ -73,7 +74,7 @@ class MinHasher:
     def _oph_flat(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         """(n_docs, K) OPH signatures: one hash per shingle scattered into K
         bins (top log2 K bits pick the bin, low 32 bits are the value), then
-        vectorized circular left-fill densification of empty bins."""
+        vectorized OPTIMAL densification of empty bins."""
         K = self.num_perms
         b = K.bit_length() - 1
         n_docs = len(offsets) - 1
@@ -90,21 +91,39 @@ class MinHasher:
         mat = np.full(n_docs * K, _OPH_EMPTY, dtype=np.uint64)
         mat[ks[first]] = vs[first]
         mat = mat.reshape(n_docs, K)
-        # circular densification: bin i borrows from the nearest occupied bin
-        # at or to its left (wrapping), offset by distance so copies of one
-        # source differ deterministically
-        tiled = np.concatenate([mat, mat], axis=1)
-        pos = np.arange(2 * K, dtype=np.int64)[None, :]
-        src = np.maximum.accumulate(np.where(tiled != _OPH_EMPTY, pos, -1), axis=1)
-        src_r = src[:, K:]
-        take = np.take_along_axis(tiled, np.maximum(src_r, 0), axis=1)
-        dist = (np.arange(K, dtype=np.uint64)[None, :] + np.uint64(K)) - src_r.astype(np.uint64)
-        with np.errstate(over="ignore"):
-            dens = (take + dist * _OPH_C) & np.uint64(0xFFFFFFFF)
-        out = np.where(src_r >= 0, dens, np.uint64(0)).astype(np.uint32)
-        # occupied bins keep their exact minima (no offset)
+        # OPTIMAL densification (Shrivastava, ICML 2017): every empty bin
+        # borrows, value as-is, from the first FILLED bin along a per-bin
+        # double-hash probe sequence tgt_t(k) = (h1[k] + t·h2[k]) mod K with
+        # h2 odd (K is a power of two, so the probes cover every bin in K
+        # steps — always terminates when the doc has ≥1 filled bin). Unlike
+        # circular left-fill, ADJACENT empty bins borrow from unrelated
+        # filled bins, so an LSH band of densified bins still carries R
+        # independent minima; circular fill collapsed whole bands onto one
+        # source bin for sparse (short-document) signatures and exploded the
+        # flagship's candidate count ~165× on 51k web pages.
         occupied = mat != _OPH_EMPTY
-        out[occupied] = mat[occupied].astype(np.uint32)
+        res = mat.copy()
+        unresolved = ~occupied
+        if unresolved.any():
+            k_idx = np.arange(K, dtype=np.uint64)
+            h1 = (
+                (k_idx * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+            ).astype(np.int64) % K
+            h2 = (
+                ((k_idx * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(40))
+                .astype(np.int64) % K
+            ) | 1  # odd → full cycle modulo the power-of-two K
+            any_filled = occupied.any(axis=1)
+            for t in range(1, K + 1):
+                active = unresolved & any_filled[:, None]
+                if not active.any():
+                    break
+                tgt = (h1 + t * h2) % K
+                cand = mat[:, tgt]
+                take_mask = active & (cand != _OPH_EMPTY)
+                res[take_mask] = cand[take_mask]
+                unresolved &= ~take_mask
+        out = np.where(res == _OPH_EMPTY, np.uint64(0), res).astype(np.uint32)
         return out
 
     def signatures_flat(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:

@@ -288,6 +288,40 @@ class TestOphMinHash:
         bar is lower than the kperm gate)."""
         # covered in tests/test_pipeline.py::TestOphFlagship (needs ray)
 
+    def test_oph_densified_bands_stay_independent(self):
+        """Regression for the circular-densification candidate explosion:
+        short UNRELATED docs must not share LSH band keys through densified
+        bins. With optimal densification the band-collision rate of disjoint
+        docs stays near the kperm baseline (circular fill produced ~165×
+        candidate blowup at bench scale)."""
+        from dedupe_ray.config import MinHashConfig
+        from dedupe_ray.stages.banding import minhash_band_table
+        import pyarrow as pa
+
+        rng = np.random.default_rng(11)
+        n = 400
+        # short docs (~20 tokens) over per-doc DISJOINT vocab → true J = 0
+        texts = [
+            " ".join(f"t{d}x{rng.integers(0, 40)}" for _ in range(20))
+            for d in range(n)
+        ]
+        collisions = {}
+        for scheme in ("kperm", "oph"):
+            mh = MinHasher(128, 3, 5, scheme)
+            sigs = mh.batch_signatures(texts)
+            tbl = pa.table(
+                {"doc_id": pa.array(list(range(n)), pa.int64()),
+                 "minhash": pa.FixedSizeListArray.from_arrays(
+                     pa.array(sigs.reshape(-1), pa.uint32()), 128)}
+            )
+            banded = minhash_band_table(tbl, MinHashConfig())
+            keys = banded.column("band_key").to_numpy(zero_copy_only=False)
+            _, counts = np.unique(keys, return_counts=True)
+            collisions[scheme] = int((counts * (counts - 1) // 2).sum())
+        # disjoint docs: kperm collisions ~0; oph must stay the same order,
+        # not explode (circular fill gave thousands here)
+        assert collisions["oph"] <= max(10, 10 * (collisions["kperm"] + 1)), collisions
+
 
 class TestHll:
     def test_accuracy_and_merge(self):
