@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": Q.parts_by_brand,
         # --- rows-only (not SQL-expressible) -------------------------------
         "neardup_pages_minhash": Q.neardup_pages_minhash,
+        "neardup_pages_minhash_oph": Q.neardup_pages_minhash_oph,
         "neardup_pages_bench": Q.neardup_pages_bench,
         "neardup_docs_simhash": Q.neardup_docs_simhash,
         "neardup_docs_simhash_wide": Q.neardup_docs_simhash_wide,

@@ -465,6 +465,25 @@ def neardup_pages_minhash(sf_dir: str, copies: int = 1):
     return out  # row order is free (driver compare is order-insensitive)
 
 
+def neardup_pages_minhash_oph(sf_dir: str):
+    """The flagship under one-permutation hashing with optimal
+    densification — ~K× cheaper signatures, same banding/verify machinery
+    (rows-only: OPH estimates differ from kperm by design)."""
+    from dedupe_ray.config import MinHashConfig
+    from dedupe_ray.pipelines.neardup import near_duplicates
+
+    pages = pages_from_documents(sf_dir)
+    pages = pages.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("text"), "text",
+            pa.nulls(b.num_rows, pa.string()),
+        ),
+        batch_format="pyarrow",
+    )
+    cfg = NearDupConfig(algo="minhash", minhash=MinHashConfig(scheme="oph"))
+    return near_duplicates(pages, cfg)
+
+
 def neardup_pages_bench(sf_dir: str):
     """Compute-bound flagship workload: ×N corpus expansion (default ×10 →
     50k+ pages at sf0.1) — the headline benchmark & scaling-efficiency job.
