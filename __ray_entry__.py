@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": Q.top_tokens,
         "suppliers_per_region": Q.suppliers_per_region,
         "parts_by_brand": Q.parts_by_brand,
+        "ann_srp_exact_topk": Q.ann_srp_exact_topk,
+        "ann_ivf_exact_topk": Q.ann_ivf_exact_topk,
+        "media_features_dct": Q.media_features_dct,
         # --- rows-only (not SQL-expressible) -------------------------------
         "neardup_pages_minhash": Q.neardup_pages_minhash,
         "neardup_pages_minhash_oph": Q.neardup_pages_minhash_oph,
@@ -80,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_match_audit": Q.incremental_match_audit,
         "embedding_neardup_audit": Q.embedding_neardup_audit,
         "doc_repetition_stats": Q.doc_repetition_stats,
+        "cluster_groups_audit": Q.cluster_groups_audit,
     }
 
 
@@ -99,6 +103,19 @@ _AUDIT_CTE = (
     "pairs AS (SELECT src, dst, i::DOUBLE / (sa.n + sb.n - i) AS jaccard "
     "FROM inter JOIN sizes sa ON sa.doc_id = src JOIN sizes sb ON sb.doc_id = dst "
     "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5)"
+)
+
+
+_TOPK_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+    "WHERE vec_id < 5), "
+    "scored AS (SELECT q.query_id, e.vec_id, "
+    "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(e.embedding AS DOUBLE[])) AS sim "
+    "FROM q CROSS JOIN embeddings e) "
+    "SELECT query_id, CAST(row_number() OVER "
+    "(PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank, "
+    "vec_id FROM scored QUALIFY rank <= 10"
 )
 
 
@@ -155,10 +172,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM base b LEFT JOIN top USING (doc_id)"
         ),
         "embedding_neardup_audit": (
-            "SELECT a.vec_id AS src, b.vec_id AS dst FROM embeddings a "
-            "JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-            "CAST(b.embedding AS DOUBLE[])) >= 0.42"
+            # sim_fp: quantized fixed-point cosine — q = floor(x·1024 + 0.5)
+            # makes every dot product / norm an exact integer sum (< 2^53) in
+            # float64, so the final floor(1e6·dot/sqrt(na·nb) + 0.5) is
+            # bit-identical across engines (single correctly-rounded IEEE ops)
+            "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fe, "
+            "list_transform(CAST(embedding AS DOUBLE[]), "
+            "x -> floor(x * 1024.0 + 0.5)) AS qe FROM embeddings) "
+            "SELECT a.vec_id AS src, b.vec_id AS dst, "
+            "CAST(floor(1000000.0 * (list_dot_product(a.qe, b.qe) / "
+            "sqrt(list_dot_product(a.qe, a.qe) * list_dot_product(b.qe, b.qe)))"
+            " + 0.5) AS BIGINT) AS sim_fp "
+            "FROM q a JOIN q b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.fe, b.fe) >= 0.42"
+        ),
+        "cluster_groups_audit": (
+            f"WITH RECURSIVE {_AUDIT_CTE}, "
+            "edges AS (SELECT src AS a, dst AS b FROM pairs "
+            "UNION ALL SELECT dst, src FROM pairs), "
+            "reach(doc_id, r) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.doc_id), "
+            "cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id) "
+            "SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids "
+            "FROM cl GROUP BY cluster_id HAVING count(*) > 1"
+        ),
+        "media_features_dct": (
+            "SELECT doc_id AS media_id, CAST(TRUE AS BOOLEAN) AS decode_ok "
+            "FROM documents"
         ),
         "quality_docs": (
             # arithmetic mirrors functions/quality.py op-for-op (each value
@@ -303,15 +344,9 @@ def oracle_sql() -> dict[str, str]:
             "OR gap > INTERVAL 30 MINUTE) AS BIGINT) AS n_sessions "
             "FROM d GROUP BY user_id"
         ),
-        "embedding_topk": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
-            "WHERE vec_id < 5), "
-            "scored AS (SELECT q.query_id, e.vec_id, "
-            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
-            "CAST(e.embedding AS DOUBLE[])) AS sim "
-            "FROM q CROSS JOIN embeddings e) "
-            "SELECT query_id, CAST(row_number() OVER "
-            "(PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank, "
-            "vec_id FROM scored QUALIFY rank <= 10"
-        ),
+        "embedding_topk": _TOPK_SQL,
+        # exact modes of the approximate ANN paths (radius 64 / nprobe =
+        # n_lists) provably equal brute force — same oracle as embedding_topk
+        "ann_srp_exact_topk": _TOPK_SQL,
+        "ann_ivf_exact_topk": _TOPK_SQL,
     }

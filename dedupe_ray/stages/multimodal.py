@@ -30,7 +30,10 @@ import pyarrow as pa
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["MEDIA_SCHEMA", "MediaFeatureStage", "decode_image", "dhash_features"]
+__all__ = [
+    "MEDIA_SCHEMA", "MediaFeatureStage", "decode_image", "dhash_features",
+    "dct_phash64", "dct_features",
+]
 
 # media records: opaque payload + typed metadata (SURVEY: treat image/audio/
 # video as opaque binary with typed metadata)
@@ -155,6 +158,42 @@ def dhash_features(gray: np.ndarray, dim: int = 64) -> np.ndarray:
     return (bits.reshape(-1).astype(np.float32) * 2.0) - 1.0
 
 
+def dct_phash64(gray: np.ndarray) -> np.uint64:
+    """DCT perceptual hash — the reference's higher-quality algo slot
+    (/root/reference/hash/hash.go:81-155): resize to 32×32, 2-D DCT-II,
+    keep the 8×8 low-frequency block at offset (+1,+1) (drops the DC term),
+    threshold each coefficient against the block's upper median.
+
+    The quad loop over (u,v,i,j) becomes two matmuls: with
+    C[u,i] = cos((2i+1)·u·π/(2N)), F = (cᵤcᵥ/4) ⊙ (C · f · Cᵀ) — identical
+    arithmetic, O(N³) instead of O(N⁴). Resize is the engine's box-mean
+    (``_area_resize``); the reference uses a Linear sampler, same
+    low-quality-is-fine family per its own comment (hash.go:54-56).
+    """
+    n = 32
+    f = _area_resize(gray, n, n)
+    i_idx = np.arange(n, dtype=np.float64)
+    cos = np.cos(
+        np.outer(np.arange(n, dtype=np.float64), (2.0 * i_idx + 1.0))
+        * (np.pi / (2.0 * n))
+    )  # (u, i)
+    c = np.ones(n)
+    c[0] = 1.0 / np.sqrt(2.0)
+    dct = (np.outer(c, c) / 4.0) * (cos @ f @ cos.T)
+    freqs = dct[1:9, 1:9].reshape(-1)  # row-major == hash.go's x*8+y layout
+    median = np.sort(freqs)[32]  # upper median, hash.go:146
+    bits = freqs > median
+    return np.uint64(np.packbits(bits, bitorder="little").view(np.uint64)[0])
+
+
+def dct_features(gray: np.ndarray, dim: int = 64) -> np.ndarray:
+    """DCT phash bits as a ±1 float feature vector (same output layout as
+    ``dhash_features`` so the two algos are drop-in interchangeable)."""
+    code = int(dct_phash64(gray))
+    bits = (code >> np.arange(dim, dtype=np.uint64)) & np.uint64(1)
+    return (bits.astype(np.float32) * 2.0) - 1.0
+
+
 class MediaFeatureStage:
     """map_batches actor: payload → fixed-width feature vector + ok flag.
 
@@ -171,10 +210,15 @@ class MediaFeatureStage:
 
     FEATURE_DIM = 64
 
-    def __init__(self, mode: str = "fake"):
+    def __init__(self, mode: str = "fake", algo: str = "dhash"):
         if mode not in ("fake", "real"):
             raise ValueError(mode)
+        if algo not in ("dhash", "dct"):
+            raise ValueError(algo)
         self.mode = mode
+        # algo dispatch mirrors the reference's imageHash switch
+        # (/root/reference/hash/hash.go:41-44): dhash gradients or DCT phash
+        self._features = dhash_features if algo == "dhash" else dct_features
         self._pil = None
         if mode == "real":
             try:
@@ -191,7 +235,7 @@ class MediaFeatureStage:
             if media_type not in (None, "image"):
                 raise ValueError(f"no decoder for media_type={media_type!r}")
             gray = decode_image(payload, self._pil)
-            return dhash_features(gray, self.FEATURE_DIM)
+            return self._features(gray, self.FEATURE_DIM)
         digest = hashlib.blake2b(payload, digest_size=self.FEATURE_DIM).digest()
         return (np.frombuffer(digest, dtype=np.uint8).astype(np.float32) - 127.5) / 127.5
 

@@ -8,6 +8,10 @@ import pytest
 
 from dedupe_ray.config import MinHashConfig, SimHashConfig
 
+# pinned output of dct_phash64 on the fixed 40×40 gradient plane below —
+# catches accidental drift in the DCT/median/bit-layout spec
+GOLDEN_DCT_PHASH = 0xCBA659B42A54AD4A
+
 
 def _embeddings_ds(ray_session, n=300, d=32, seed=9):
     import ray.data
@@ -268,6 +272,60 @@ class TestMultimodal:
             )
         ).sort_by("media_id")
         assert out.column("decode_ok").to_pylist() == [True, False, False]
+
+
+    def test_dct_phash_matches_reference_formula(self):
+        """The matmul DCT-II must equal the reference's table-based
+        cosine-product sum (/root/reference/hash/hash.go:96-126) on random
+        planes — same 8×8 (+1,+1) low-frequency block, same upper median."""
+        from dedupe_ray.stages.multimodal import _area_resize, dct_phash64
+
+        rng = np.random.default_rng(11)
+        n = 32
+        cos_table = np.cos(np.arange(2 * n * (n - 1)) / (2 * n) * np.pi)
+        cu = cos_table[np.outer(2 * np.arange(n) + 1, np.arange(n))]  # (i, u)
+        c = np.ones(n)
+        c[0] = 1 / np.sqrt(2)
+        for _ in range(3):
+            gray = rng.random((45, 51)) * 255.0
+            f = _area_resize(gray, n, n)
+            dct = np.einsum("iu,jv,ij->uv", cu, cu, f) * (np.outer(c, c) / 4)
+            freqs = dct[1:9, 1:9].reshape(-1)
+            median = np.sort(freqs)[32]
+            exp = 0
+            for k, fr in enumerate(freqs):
+                if fr > median:
+                    exp ^= 1 << k
+            assert int(dct_phash64(gray)) == exp
+
+    def test_dct_phash_golden_and_invariance(self):
+        """Pin the DCT phash of a fixed gradient plane (format stability) and
+        check the defining invariance: positive brightness scaling rescales
+        every coefficient AND the median, so the hash is unchanged."""
+        from dedupe_ray.stages.multimodal import dct_phash64
+
+        x = np.arange(40)
+        base = (np.add.outer(x * 3, x * 5) % 256).astype(np.float64)
+        code = int(dct_phash64(base))
+        assert code == GOLDEN_DCT_PHASH
+        assert int(dct_phash64(base * 0.5)) == code
+        assert int(dct_phash64(base * 2.0)) == code
+
+    def test_media_stage_dct_algo(self):
+        """algo='dct' dispatches to the DCT features; output layout matches
+        the dhash path (±1 floats, FEATURE_DIM wide)."""
+        from dedupe_ray.stages.multimodal import (
+            MediaFeatureStage, dct_features, decode_image,
+        )
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(33, 47)).astype(np.uint8)
+        payload = self._ppm_bytes(img)
+        stage = MediaFeatureStage(mode="real", algo="dct")
+        feats = stage._decode_payload(payload, "image")
+        assert feats.shape == (64,)
+        assert set(np.unique(feats)) <= {-1.0, 1.0}
+        assert np.array_equal(feats, dct_features(decode_image(payload)))
 
 
 class TestBandingGuarantees:
