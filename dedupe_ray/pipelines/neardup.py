@@ -122,18 +122,123 @@ def match_edges(
     return verify_edges(distinct, signatures, config).materialize()
 
 
+def _assign_clusters_join(
+    signatures: "ray.data.Dataset",
+    clusters: "ray.data.Dataset",
+    keep_columns: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Join-based stamping fallback (VERDICT r2 #5): when the dup-involved
+    cluster map is too large to broadcast through the object store, attach
+    ``cluster_id`` with a doc_id sort-merge join (union + one sorted pass —
+    the ``sort_merge_join`` shape specialized to left-join-with-default) and
+    pick canonicals inside a cluster_id shuffle. Two slim-column exchanges,
+    ZERO driver/broadcast state. Output carries only the stamping columns
+    (url/warc_ts/lang/doc_id + keeps) — exactly what the flagship's finalize
+    step keeps; heavy signature columns never enter the shuffle."""
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    have = signatures.schema().names
+    base = ["url", "warc_ts", "lang", "doc_id"]
+    cols = [c for c in base if c in have] + [
+        c for c in (keep_columns or []) if c in have and c not in base
+    ]
+    slim = signatures.select_columns(cols)
+    types = dict(zip(signatures.schema().names, signatures.schema().types))
+    data_cols = [c for c in cols if c != "doc_id"]
+
+    def _tag_sig(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": batch.column("doc_id"),
+               "__cl": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64())}
+        for c in data_cols:
+            out[c] = batch.column(c)
+        return pa.table(out)
+
+    def _tag_cl(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": batch.column("doc_id").cast(pa.int64()),
+               "__cl": batch.column("cluster_id").cast(pa.int64())}
+        for c in data_cols:
+            out[c] = pa.nulls(batch.num_rows, types[c])
+        return pa.table(out)
+
+    unioned = slim.map_batches(_tag_sig, batch_format="pyarrow", batch_size=None).union(
+        clusters.map_batches(_tag_cl, batch_format="pyarrow", batch_size=None)
+    )
+
+    def _stamp_block(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], types["doc_id"])}
+            | {c: pa.array([], types[c]) for c in data_cols}
+            | {"cluster_id": pa.array([], pa.int64())}
+        )
+        if block.num_rows == 0:
+            return empty
+        did = block.column("doc_id").to_numpy(zero_copy_only=False)
+        cl = block.column("__cl").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cl, did))  # sig row (-1) first within each doc
+        did_s, cl_s = did[order], cl[order]
+        starts = np.flatnonzero(np.r_[True, did_s[1:] != did_s[:-1]])
+        counts = np.diff(np.r_[starts, len(did_s)])
+        has_sig = cl_s[starts] == -1  # guard against orphan cluster rows
+        second = np.clip(starts + 1, 0, len(cl_s) - 1)
+        cid = np.where(counts >= 2, cl_s[second], did_s[starts])
+        take = pa.array(order[starts[has_sig]], pa.int64())
+        out = block.drop_columns(["__cl"]).take(take)
+        return out.append_column(
+            "cluster_id", pa.array(cid[has_sig], pa.int64())
+        )
+
+    stamped = sorted_group_apply(unioned, "doc_id", _stamp_block)
+
+    def _canon_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return block.append_column("is_canonical", pa.array([], pa.bool_()))
+        cid = block.column("cluster_id").to_numpy(zero_copy_only=False)
+        did = block.column("doc_id").to_numpy(zero_copy_only=False)
+        if "warc_ts" in block.column_names and "url" in block.column_names:
+            ts = block.column("warc_ts").to_numpy(zero_copy_only=False)
+            urls = np.asarray(block.column("url").to_pylist(), dtype=object)
+            order = np.lexsort((urls, ts, cid))
+        else:
+            order = np.lexsort((did, cid))
+        cid_s = cid[order]
+        starts = np.flatnonzero(np.r_[True, cid_s[1:] != cid_s[:-1]])
+        is_canon = np.zeros(n, dtype=bool)
+        is_canon[order[starts]] = True
+        return block.append_column("is_canonical", pa.array(is_canon, pa.bool_()))
+
+    return sorted_group_apply(stamped, "cluster_id", _canon_block)
+
+
 def assign_clusters(
     signatures: "ray.data.Dataset",
     clusters: "ray.data.Dataset",
+    mode: str = "auto",
+    broadcast_max_rows: int = 100_000_000,
+    keep_columns: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Attach cluster_id + is_canonical to every row.
 
-    The cluster map covers only duplicate-involved docs (small side) — it is
-    broadcast via ``ray.put`` and joined with binary-search lookups inside
-    ``map_batches``; the corpus itself never shuffles. Singletons get
-    ``cluster_id = doc_id``. Canonical member = min ``(warc_ts, url)`` within
-    the cluster, computed distributedly on the duplicate subset.
+    ``mode="broadcast"`` (the common case): the cluster map covers only
+    duplicate-involved docs (small side) — it is broadcast via ``ray.put``
+    and joined with binary-search lookups inside ``map_batches``; the corpus
+    itself never shuffles. Singletons get ``cluster_id = doc_id``. Canonical
+    member = min ``(warc_ts, url)`` within the cluster, computed
+    distributedly on the duplicate subset.
+
+    ``mode="join"``: no broadcast at all — see :func:`_assign_clusters_join`
+    for when the dup-involved slice exceeds the object store. ``auto`` picks
+    join when the cluster map exceeds ``broadcast_max_rows`` (~1.6 GB of
+    (doc_id, cluster_id) pairs at the default), the same gating idea as
+    ``verify_edges_join``.
     """
+    if mode == "auto":
+        clusters = clusters.materialize()
+        mode = "join" if clusters.count() > broadcast_max_rows else "broadcast"
+        if mode == "join":
+            logger.info("assign_clusters: cluster map too large — join path")
+    if mode == "join":
+        return _assign_clusters_join(signatures, clusters, keep_columns)
     cmap = pa.concat_tables(
         list(clusters.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
         or [pa.table({"doc_id": pa.array([], pa.int64()),
@@ -418,5 +523,5 @@ def near_duplicates(
         clusters = connected_components(
             edges, method=config.cc_method, local_max_edges=config.cc_local_max_edges
         )
-    out = assign_clusters(sigs, clusters)
+    out = assign_clusters(sigs, clusters, keep_columns=keep_columns)
     return _finalize_columns(out, keep_columns)

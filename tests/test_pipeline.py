@@ -344,6 +344,38 @@ class TestDistributedMode:
         m = pairwise_f1(a, fixture_small.labeled_pairs)
         assert m["f1"] >= 0.99, m
 
+    def test_join_stamping_matches_broadcast(self, ray_session, fixture_small):
+        """assign_clusters mode='join' (sort-merge stamping, zero broadcast
+        state — the path for cluster maps that exceed the object store) must
+        match the broadcast path row-for-row."""
+        from dedupe_ray.pipelines.neardup import (
+            assign_clusters, match_edges, signatures_dataset,
+        )
+        from dedupe_ray.stages.clustering import connected_components
+
+        cfg = NearDupConfig(algo="minhash")
+        ds = _pages_ds(ray_session, fixture_small)
+        sigs = signatures_dataset(ds, cfg).materialize()
+        edges = match_edges(sigs, cfg)
+        clusters = connected_components(edges).materialize()
+        cols = ["url", "doc_id", "cluster_id", "is_canonical"]
+
+        def _collect(out):
+            t = pa.concat_tables(
+                list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+            )
+            return t.select(cols).sort_by("doc_id")
+
+        a = _collect(assign_clusters(sigs, clusters, mode="broadcast"))
+        b = _collect(assign_clusters(sigs, clusters, mode="join"))
+        assert a.equals(b)
+        # auto gate: a tiny broadcast_max_rows must force the join path and
+        # still agree
+        c = _collect(
+            assign_clusters(sigs, clusters, mode="auto", broadcast_max_rows=1)
+        )
+        assert a.equals(c)
+
 
 class TestIncrementalMatch:
     def test_new_batch_vs_corpus(self, ray_session, fixture_small):
