@@ -93,13 +93,18 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         rows[name] = _consume(qs[name](SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)
+    headline_runs = []
     if HEADLINE in times:
         # the headline is the graded number: take the fastest of 2 runs so a
         # background-steal spike on this VM doesn't masquerade as a
-        # regression (same steady-state treatment as --scaling legs)
+        # regression (same steady-state treatment as --scaling legs). BOTH
+        # raw run times are reported (headline_runs) so the min-of-2 number
+        # stays comparable and can't mask a first-run regression (ADVICE r2).
         t0 = time.perf_counter()
         rows[HEADLINE] = _consume(qs[HEADLINE](SF_DIR))
-        times[HEADLINE] = min(times[HEADLINE], round(time.perf_counter() - t0, 3))
+        t2 = round(time.perf_counter() - t0, 3)
+        headline_runs = [times[HEADLINE], t2]
+        times[HEADLINE] = min(times[HEADLINE], t2)
     ray.shutdown()
 
     head = HEADLINE if HEADLINE in times else bench_queries[0]
@@ -111,6 +116,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": times,
         "rows": rows,
+        "headline_runs": headline_runs,
         "pages_per_sec": round(headline_rows / headline_sec, 1) if headline_sec else None,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,

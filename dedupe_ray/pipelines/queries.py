@@ -38,11 +38,31 @@ def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
     return batch
 
 
+def _read_blocks(path: str) -> int:
+    """Explicit block count for a single-file read: Ray's default split
+    (2×CPUs blocks) makes tiny blocks whose ~50 ms/task executor dispatch
+    dominates small tables on short jobs — target ≥8k rows per block, floor
+    8 blocks (parallelism on small inputs), cap at the CPU count. At 100 TB
+    the reader is bounded by DataContext.target_max_block_size instead and
+    this heuristic returns the cap."""
+    import pyarrow.parquet as pq
+
+    rows = pq.ParquetFile(path).metadata.num_rows
+    if rows < 1000:  # tiny dimension table: one block beats 8 dispatches
+        return 1
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return int(min(max(rows // 8000, 8), max(8, cpus)))
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
     # the metadata strip fuses into the read task — no extra stage
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns).map_batches(
-        _strip_schema_metadata, batch_format="pyarrow", batch_size=None
-    )
+    path = f"{sf_dir}/{name}.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=_read_blocks(path)
+    ).map_batches(_strip_schema_metadata, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -440,7 +460,25 @@ def _doc_pages_batch(batch: pa.Table, expand_dups: bool, copies: int) -> pa.Tabl
 def pages_from_documents(
     sf_dir: str, expand_dups: bool = True, copies: int = 1
 ) -> "ray.data.Dataset":
-    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    """documents → synthetic pages. Block count is sized EXPLICITLY: the
+    default read split (2×CPUs tiny blocks) costs ~50 ms/task of executor
+    dispatch on this box — 64 dispatches of 80-doc blocks took 3.7 s where
+    16 dispatches of the same data take 1.5 s. Target ~3200 pages/block,
+    capped at the CPU count (measured best for both the ×10 and ×100
+    corpus), floor 8 so small inputs still parallelize."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    total = n_docs * (copies + 1)
+    nb = int(min(max(total // 3200, 8), max(8, cpus)))
+    ds = ray.data.read_parquet(
+        path, columns=["doc_id", "text", "lang"], override_num_blocks=nb
+    ).map_batches(_strip_schema_metadata, batch_format="pyarrow", batch_size=None)
     return ds.map_batches(
         lambda b: _doc_pages_batch(b, expand_dups, copies),
         batch_format="pyarrow",
