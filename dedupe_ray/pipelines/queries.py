@@ -475,7 +475,13 @@ def pages_from_documents(
     except Exception:
         cpus = 8
     total = n_docs * (copies + 1)
-    nb = int(min(max(total // 3200, 8), max(8, cpus)))
+    # cap: CPUs on big sessions (64 tiny blocks cost ~50 ms/task dispatch),
+    # but 2×CPUs on small sessions — a single wave of CPU-count tasks lets
+    # one straggler double the wall time (seen as a 0.52 scaling-leg outlier
+    # at 8 CPUs × 8 blocks); two waves amortize it and the extra dispatch
+    # cost is negligible at those task sizes
+    cap = cpus if cpus >= 16 else 2 * cpus
+    nb = int(min(max(total // 3200, 8), max(8, cap)))
     ds = ray.data.read_parquet(
         path, columns=["doc_id", "text", "lang"], override_num_blocks=nb
     ).map_batches(_strip_schema_metadata, batch_format="pyarrow", batch_size=None)

@@ -56,6 +56,37 @@ def coerce_pages_schema(batch: pa.Table) -> pa.Table:
     return pa.table(cols, schema=PAGES_SCHEMA)
 
 
+def _parquet_blocks(paths: list[str]) -> int | None:
+    """Explicit block count for parquet inputs (row count from file
+    metadata): Ray's default 2×CPUs split makes tiny blocks whose ~50 ms
+    per-task executor dispatch dominates small corpora — target ≥8k
+    rows/block, floor 8 blocks, cap at the CPU count. Returns None (use the
+    default splitting) when metadata isn't cheaply available."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = 0
+    for p in paths:
+        files = (
+            glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+            if os.path.isdir(p)
+            else [p]
+        )
+        for f in files:
+            try:
+                rows += pq.ParquetFile(f).metadata.num_rows
+            except Exception:
+                return None
+    if rows < 1000:
+        return 1
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return int(min(max(rows // 8000, 8), max(8, cpus)))
+
+
 def read_pages(paths: list[str] | str) -> "ray.data.Dataset":
     """Read one or more pages files (parquet/json/jsonl/csv, may be mixed)
     and coerce to the canonical schema. Directories are read as parquet."""
@@ -70,7 +101,12 @@ def read_pages(paths: list[str] | str) -> "ray.data.Dataset":
         by_reader.setdefault(reader, []).append(p)
     ds = None
     for reader, group in by_reader.items():
-        part = reader(group).map_batches(
+        kwargs = {}
+        if reader is ray.data.read_parquet:
+            nb = _parquet_blocks(group)
+            if nb is not None:
+                kwargs["override_num_blocks"] = nb
+        part = reader(group, **kwargs).map_batches(
             coerce_pages_schema, batch_format="pyarrow", batch_size=None
         )
         ds = part if ds is None else ds.union(part)
