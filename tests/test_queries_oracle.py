@@ -143,6 +143,50 @@ def test_asof_range_join_no_click_user(entrymod, tmp_path):
         _compare(ray_df, sql_df, name)
 
 
+def test_asof_range_join_wide_span_no_overflow(entrymod, tmp_path):
+    """Regression (ADVICE r2): the old composite key (code·span + ts) wrapped
+    int64 silently once n_users × ts-span exceeded 2^63 (~30k users × a
+    10-year µs span). 5000 users over a ~290-year span would overflow it by
+    ~400×; the accumulate/merge-rank kernels must match DuckDB exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    n_users, per_user = 5000, 4
+    n = n_users * per_user
+    uid = np.repeat(np.arange(n_users, dtype=np.int64), per_user)
+    # timestamps across ±145 years around 2000 (near the datetime64[us]-in-
+    # int64 comfortable range): span ≈ 9.1e15 µs; 5000 × span ≈ 4.6e19 > 2^63
+    ts = rng.integers(
+        -4_500_000_000_000_000, 4_700_000_000_000_000, size=n, dtype=np.int64
+    )
+    et = rng.choice(np.asarray(["click", "error", "view"], dtype=object), size=n)
+    # force some exact click/error ts ties (the inclusive-bound edge)
+    et[0], et[1] = "click", "error"
+    ts[1] = ts[0]
+    uid[1] = uid[0]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(uid),
+            "event_type": pa.array(et.tolist(), pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracles = entrymod.oracle_sql()
+    qs = entrymod.queries()
+    for name in ("events_asof_join", "events_range_join"):
+        ray_df = _to_pandas(qs[name](str(tmp_path)))
+        sql_df = c.execute(oracles[name]).fetchdf()
+        _compare(ray_df, sql_df, name)
+
+
 def test_top_tokens_unicode_oracle_parity(entrymod, tmp_path):
     """Regression (ADVICE r1): the top_tokens tokenizer must agree with its
     DuckDB oracle on NON-ASCII corpora, not just the all-ASCII testdata."""
