@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_srp_exact_topk": Q.ann_srp_exact_topk,
         "ann_ivf_exact_topk": Q.ann_ivf_exact_topk,
         "media_features_dct": Q.media_features_dct,
+        "stratified_sample_docs": Q.stratified_sample_docs,
+        "oov_rate_docs": Q.oov_rate_docs,
         # --- rows-only (not SQL-expressible) -------------------------------
         "neardup_pages_minhash": Q.neardup_pages_minhash,
         "neardup_pages_minhash_oph": Q.neardup_pages_minhash_oph,
@@ -200,6 +202,29 @@ def oracle_sql() -> dict[str, str]:
         "media_features_dct": (
             "SELECT doc_id AS media_id, CAST(TRUE AS BOOLEAN) AS decode_ok "
             "FROM documents"
+        ),
+        "stratified_sample_docs": (
+            # same Knuth multiplicative rank as _strat_keep; doc_id·M stays
+            # far below 2^63 at these id magnitudes, so SQL's exact product
+            # mod 2^32 equals numpy's mod-2^64-wrapped product mod 2^32
+            "SELECT doc_id, lang FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 20"
+        ),
+        "oov_rate_docs": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "vocab AS (SELECT tk AS token FROM tok, unnest(t) AS u(tk) "
+            "GROUP BY tk ORDER BY count(*) DESC, token LIMIT 1000), "
+            "flat AS (SELECT doc_id, tk FROM tok, unnest(t) AS u(tk)), "
+            "cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(count(*) FILTER (WHERE tk IN (SELECT token FROM vocab)) "
+            "AS BIGINT) AS n_in FROM flat GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, "
+            "COALESCE(n_tokens - n_in, 0) AS n_oov, "
+            "CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0 "
+            "ELSE CAST(n_tokens - n_in AS DOUBLE) / n_tokens END AS oov_rate "
+            "FROM documents d LEFT JOIN cnt USING (doc_id)"
         ),
         "quality_docs": (
             # arithmetic mirrors functions/quality.py op-for-op (each value

@@ -1231,6 +1231,85 @@ def sample_docs(sf_dir: str):
     )
 
 
+_STRAT_MULT = np.uint64(2654435761)  # Knuth multiplicative hash
+
+
+def _strat_keep(ids: np.ndarray, langs: np.ndarray, per_lang: int) -> np.ndarray:
+    """Indices of the ``per_lang`` smallest pseudo-random ranks per lang.
+    Rank = (doc_id·2654435761) mod 2³² — deterministic across runs,
+    partitionings and engines (uint64 wraparound is mod-2⁶⁴, a multiple of
+    the 2³² modulus, so it matches SQL's exact-product arithmetic)."""
+    rank = (ids.astype(np.uint64) * _STRAT_MULT) % np.uint64(1 << 32)
+    order = np.lexsort((ids, rank, langs))
+    langs_s = langs[order]
+    boundary = np.r_[True, langs_s[1:] != langs_s[:-1]]
+    starts = np.flatnonzero(boundary)
+    local = np.arange(len(langs_s)) - starts[np.cumsum(boundary) - 1]
+    return np.sort(order[local < per_lang])
+
+
+def stratified_sample_docs(sf_dir: str, per_lang: int = 20):
+    """STRATIFIED deterministic sample: the ``per_lang`` docs with the
+    smallest pseudo-random rank per language — the per-stratum cap a corpus
+    builder uses to balance languages. Same partial-top-k shape as
+    ``top_tokens``: each block keeps ≤ per_lang rows per lang, the driver
+    merges only per_lang × n_langs × n_blocks candidates; the corpus never
+    shuffles. SQL-oracled (row_number over the identical rank)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        keep = _strat_keep(ids, langs, per_lang)
+        return batch.take(pa.array(keep, pa.int64()))
+
+    cand = pa.concat_tables(
+        list(
+            ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    )
+    ids = cand.column("doc_id").to_numpy(zero_copy_only=False)
+    langs = np.asarray(cand.column("lang").to_pylist(), dtype=object)
+    return cand.take(pa.array(_strat_keep(ids, langs, per_lang), pa.int64()))
+
+
+def oov_rate_docs(sf_dir: str, vocab_k: int = 1000):
+    """Vocabulary / out-of-vocabulary-rate signal: build the corpus top-k
+    token vocabulary (distributed heavy hitters), broadcast it ONCE
+    (``ray.put``), then score every document's OOV token rate in one
+    streaming pass — the broadcast-derived-small-side pattern. ``oov_rate``
+    is one IEEE division of exact ints (bit-identical to the SQL oracle);
+    tokenizer = the audit-family ASCII regex."""
+    import re
+
+    vocab_tbl = top_tokens(sf_dir, k=vocab_k)
+    vref = ray.put(frozenset(vocab_tbl.column("token").to_pylist()))
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _score(batch: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        nt, noov, rate = [], [], []
+        for text in batch.column("text").to_pylist():
+            toks = pat.findall((text or "").lower())
+            n = len(toks)
+            n_out = n - sum(1 for t in toks if t in v)
+            nt.append(n)
+            noov.append(n_out)
+            rate.append(float(n_out) / n if n else 0.0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_oov": pa.array(noov, pa.int64()),
+                "oov_rate": pa.array(rate, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow", batch_size=512)
+
+
 def suppliers_per_region(sf_dir: str):
     """Three-way broadcast join chain (supplier ⋈ nation ⋈ region): both
     dimension maps are composed driver-side into one s_nationkey → r_name
