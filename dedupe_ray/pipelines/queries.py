@@ -479,9 +479,13 @@ def pages_from_documents(
     # but 2×CPUs on small sessions — a single wave of CPU-count tasks lets
     # one straggler double the wall time (seen as a 0.52 scaling-leg outlier
     # at 8 CPUs × 8 blocks); two waves amortize it and the extra dispatch
-    # cost is negligible at those task sizes
+    # cost is negligible at those task sizes. The cap itself is LIFTED when
+    # it would make blocks exceed ~16k pages: a 63k-page block holds ~6M
+    # Python token strings inside the signature UDF and thrashed memory at
+    # the ×400 corpus (67 s vs 24 s) — block size must bound per-task heap,
+    # not just dispatch count.
     cap = cpus if cpus >= 16 else 2 * cpus
-    nb = int(min(max(total // 3200, 8), max(8, cap)))
+    nb = int(min(max(total // 3200, 8), max(8, cap, total // 16000)))
     ds = ray.data.read_parquet(
         path, columns=["doc_id", "text", "lang"], override_num_blocks=nb
     ).map_batches(_strip_schema_metadata, batch_format="pyarrow", batch_size=None)

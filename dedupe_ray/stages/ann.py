@@ -351,9 +351,11 @@ def embedding_neardup_edges(
         max_bucket_size=max_bucket_size,
     )
     codes = srp_codes64(embeddings, dim, seed).materialize()
+    from dedupe_ray.pipelines.neardup import band_bundle_size
+
     banded = codes.map_batches(
         lambda b: simhash_band_table(b, cfg.simhash), batch_format="pyarrow",
-        batch_size=None,
+        batch_size=band_bundle_size(codes.count()),
     )
     cand = candidate_edges(banded, max_bucket_size).materialize()
     if cand.count() <= 2_000_000:
