@@ -1288,25 +1288,39 @@ def oov_rate_docs(sf_dir: str, vocab_k: int = 1000):
     import re
 
     vocab_tbl = top_tokens(sf_dir, k=vocab_k)
-    vref = ray.put(frozenset(vocab_tbl.column("token").to_pylist()))
+    vref = ray.put(np.sort(np.asarray(vocab_tbl.column("token").to_pylist())))
     pat = re.compile(_ASCII_TOKEN_RE_SRC)
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def _score(batch: pa.Table) -> pa.Table:
-        v = ray.get(vref)
-        nt, noov, rate = [], [], []
-        for text in batch.column("text").to_pylist():
-            toks = pat.findall((text or "").lower())
-            n = len(toks)
-            n_out = n - sum(1 for t in toks if t in v)
-            nt.append(n)
-            noov.append(n_out)
-            rate.append(float(n_out) / n if n else 0.0)
+        v = ray.get(vref)  # sorted unicode array
+        tok_lists = [
+            pat.findall((t or "").lower()) for t in batch.column("text").to_pylist()
+        ]
+        lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(tok_lists))
+        flat: list[str] = []
+        for tl in tok_lists:
+            flat.extend(tl)
+        # ONE vectorized membership test + per-doc reduceat — no per-token
+        # Python loop in the streaming pass. reduceat runs only at the
+        # strictly-increasing offsets of NON-empty docs (an empty doc's
+        # offset can equal len(in_v) or collapse a neighbor's segment).
+        n_in = np.zeros(len(lens), np.int64)
+        nonempty = lens > 0
+        if flat and nonempty.any():
+            in_v = np.isin(np.asarray(flat), v).astype(np.int64)
+            starts = np.r_[0, np.cumsum(lens)][:-1][nonempty]
+            n_in[nonempty] = np.add.reduceat(in_v, starts)
+        n_oov = lens - n_in
+        rate = np.divide(
+            n_oov, lens, out=np.zeros(len(lens), np.float64),
+            where=lens > 0, casting="unsafe",
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_tokens": pa.array(nt, pa.int64()),
-                "n_oov": pa.array(noov, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
                 "oov_rate": pa.array(rate, pa.float64()),
             }
         )
