@@ -182,9 +182,11 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(CAST(embedding AS DOUBLE[]), "
             "x -> floor(x * 1024.0 + 0.5)) AS qe FROM embeddings) "
             "SELECT a.vec_id AS src, b.vec_id AS dst, "
+            "CASE WHEN list_dot_product(a.qe, a.qe) * "
+            "list_dot_product(b.qe, b.qe) = 0 THEN 0 ELSE "
             "CAST(floor(1000000.0 * (list_dot_product(a.qe, b.qe) / "
             "sqrt(list_dot_product(a.qe, a.qe) * list_dot_product(b.qe, b.qe)))"
-            " + 0.5) AS BIGINT) AS sim_fp "
+            " + 0.5) AS BIGINT) END AS sim_fp "
             "FROM q a JOIN q b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.fe, b.fe) >= 0.42"
         ),

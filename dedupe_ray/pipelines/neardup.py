@@ -125,6 +125,12 @@ def match_edges(
 ) -> "ray.data.Dataset":
     """signatures → verified match edges (src, dst, score). Materialized."""
     config = config or NearDupConfig()
+    # materialize before counting: on a lazy signatures pipeline the
+    # bundle-size count() would otherwise execute the expensive
+    # extract+sign stage once for the probe and again for banding
+    # (no-op when the caller already materialized; verify_edges re-reads
+    # the signatures below anyway)
+    signatures = signatures.materialize()
     banded = signatures.map_batches(
         band_emitter(config.signature()), batch_format="pyarrow",
         batch_size=band_bundle_size(signatures.count()),
@@ -161,15 +167,20 @@ def _assign_clusters_join(
     types = dict(zip(signatures.schema().names, signatures.schema().types))
     data_cols = [c for c in cols if c != "doc_id"]
 
+    # explicit side column (not a -1 cluster-id sentinel): caller-provided
+    # doc/cluster ids may legitimately be negative, and a sentinel would
+    # mis-sort the signature row behind a negative cluster id
     def _tag_sig(batch: pa.Table) -> pa.Table:
         out = {"doc_id": batch.column("doc_id"),
-               "__cl": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64())}
+               "__side": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+               "__cl": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())}
         for c in data_cols:
             out[c] = batch.column(c)
         return pa.table(out)
 
     def _tag_cl(batch: pa.Table) -> pa.Table:
         out = {"doc_id": batch.column("doc_id").cast(pa.int64()),
+               "__side": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
                "__cl": batch.column("cluster_id").cast(pa.int64())}
         for c in data_cols:
             out[c] = pa.nulls(batch.num_rows, types[c])
@@ -188,16 +199,17 @@ def _assign_clusters_join(
         if block.num_rows == 0:
             return empty
         did = block.column("doc_id").to_numpy(zero_copy_only=False)
+        side = block.column("__side").to_numpy(zero_copy_only=False)
         cl = block.column("__cl").to_numpy(zero_copy_only=False)
-        order = np.lexsort((cl, did))  # sig row (-1) first within each doc
-        did_s, cl_s = did[order], cl[order]
+        order = np.lexsort((side, did))  # sig row (side 0) first per doc
+        did_s, side_s, cl_s = did[order], side[order], cl[order]
         starts = np.flatnonzero(np.r_[True, did_s[1:] != did_s[:-1]])
         counts = np.diff(np.r_[starts, len(did_s)])
-        has_sig = cl_s[starts] == -1  # guard against orphan cluster rows
+        has_sig = side_s[starts] == 0  # guard against orphan cluster rows
         second = np.clip(starts + 1, 0, len(cl_s) - 1)
         cid = np.where(counts >= 2, cl_s[second], did_s[starts])
         take = pa.array(order[starts[has_sig]], pa.int64())
-        out = block.drop_columns(["__cl"]).take(take)
+        out = block.drop_columns(["__side", "__cl"]).take(take)
         return out.append_column(
             "cluster_id", pa.array(cid[has_sig], pa.int64())
         )

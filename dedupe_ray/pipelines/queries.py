@@ -39,22 +39,16 @@ def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
 
 
 def _read_blocks(path: str) -> int:
-    """Explicit block count for a single-file read: Ray's default split
-    (2×CPUs blocks) makes tiny blocks whose ~50 ms/task executor dispatch
-    dominates small tables on short jobs — target ≥8k rows per block, floor
-    8 blocks (parallelism on small inputs), cap at the CPU count. At 100 TB
-    the reader is bounded by DataContext.target_max_block_size instead and
-    this heuristic returns the cap."""
-    import pyarrow.parquet as pq
+    """Explicit block count for a single-file read — ONE policy shared with
+    the sources layer (``sources.pages._parquet_blocks``): target ≥8k rows
+    per block (the ~50 ms/task dispatch floor), floor 8 blocks, cap CPUs
+    but never exceed ~64k rows/block (per-task heap), 1 block under 1k
+    rows. At 100 TB the reader is bounded by
+    DataContext.target_max_block_size instead and this returns the cap."""
+    from dedupe_ray.sources.pages import _parquet_blocks
 
-    rows = pq.ParquetFile(path).metadata.num_rows
-    if rows < 1000:  # tiny dimension table: one block beats 8 dispatches
-        return 1
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return int(min(max(rows // 8000, 8), max(8, cpus)))
+    nb = _parquet_blocks([path])
+    return nb if nb is not None else 8
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
@@ -857,7 +851,11 @@ def ann_srp_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     return out.set_column(0, "query_id", mapped).select(["query_id", "rank", "vec_id"])
 
 
-def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, nprobe: int = 4):
+_IVF_N_LISTS = 16
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, nprobe: int = 4,
+                 n_lists: int = _IVF_N_LISTS):
     """IVF-bucketed ANN (inverted-file scale path) — same queries as
     ``embedding_topk``; nprobe=n_lists degrades to exact (pinned by tests)."""
     from dedupe_ray.stages.ann import ivf_topk
@@ -875,7 +873,8 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, nprobe: int = 4):
         q.column("embedding").combine_chunks().flatten().to_numpy(zero_copy_only=False)
         .astype(np.float64).reshape(n_queries, -1)
     )
-    out = ivf_topk(ds, qmat, dim=qmat.shape[1], k=k, nprobe=nprobe)
+    out = ivf_topk(ds, qmat, dim=qmat.shape[1], k=k, nprobe=nprobe,
+                   n_lists=n_lists)
     qids = q.column("vec_id").to_numpy(zero_copy_only=False)
     mapped = pa.array(qids[out.column("query_id").to_numpy(zero_copy_only=False)], pa.int64())
     return out.set_column(0, "query_id", mapped).select(["query_id", "rank", "vec_id"])
@@ -892,8 +891,10 @@ def ann_srp_exact_topk(sf_dir: str):
 def ann_ivf_exact_topk(sf_dir: str):
     """IVF ANN in exact mode (nprobe = n_lists scans every inverted list —
     the invariant ``stages/ann.py`` pins by test), SQL-oracled against the
-    same brute-force SQL as ``embedding_topk``."""
-    return ann_ivf_topk(sf_dir, nprobe=16)
+    same brute-force SQL as ``embedding_topk``. nprobe is tied to the one
+    ``_IVF_N_LISTS`` constant so the exactness can't silently decay if the
+    list count changes."""
+    return ann_ivf_topk(sf_dir, nprobe=_IVF_N_LISTS, n_lists=_IVF_N_LISTS)
 
 
 def cluster_groups(sf_dir: str):
@@ -1238,17 +1239,21 @@ def sample_docs(sf_dir: str):
 _STRAT_MULT = np.uint64(2654435761)  # Knuth multiplicative hash
 
 
-def _strat_keep(ids: np.ndarray, langs: np.ndarray, per_lang: int) -> np.ndarray:
+def _strat_keep(ids: np.ndarray, langs: list, per_lang: int) -> np.ndarray:
     """Indices of the ``per_lang`` smallest pseudo-random ranks per lang.
     Rank = (doc_id·2654435761) mod 2³² — deterministic across runs,
     partitionings and engines (uint64 wraparound is mod-2⁶⁴, a multiple of
-    the 2³² modulus, so it matches SQL's exact-product arithmetic)."""
+    the 2³² modulus, so it matches SQL's exact-product arithmetic).
+    A NULL lang is its own stratum (matching SQL's PARTITION BY) — tracked
+    with an explicit null flag so the lexsort never compares None to str."""
     rank = (ids.astype(np.uint64) * _STRAT_MULT) % np.uint64(1 << 32)
-    order = np.lexsort((ids, rank, langs))
-    langs_s = langs[order]
-    boundary = np.r_[True, langs_s[1:] != langs_s[:-1]]
+    is_null = np.fromiter((v is None for v in langs), bool, count=len(langs))
+    lang_str = np.asarray(["" if v is None else v for v in langs], dtype=object)
+    order = np.lexsort((ids, rank, lang_str, is_null))
+    ls, nu = lang_str[order], is_null[order]
+    boundary = np.r_[True, (ls[1:] != ls[:-1]) | (nu[1:] != nu[:-1])]
     starts = np.flatnonzero(boundary)
-    local = np.arange(len(langs_s)) - starts[np.cumsum(boundary) - 1]
+    local = np.arange(len(ls)) - starts[np.cumsum(boundary) - 1]
     return np.sort(order[local < per_lang])
 
 
@@ -1263,8 +1268,7 @@ def stratified_sample_docs(sf_dir: str, per_lang: int = 20):
 
     def _partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
-        keep = _strat_keep(ids, langs, per_lang)
+        keep = _strat_keep(ids, batch.column("lang").to_pylist(), per_lang)
         return batch.take(pa.array(keep, pa.int64()))
 
     cand = pa.concat_tables(
@@ -1274,8 +1278,8 @@ def stratified_sample_docs(sf_dir: str, per_lang: int = 20):
         )
     )
     ids = cand.column("doc_id").to_numpy(zero_copy_only=False)
-    langs = np.asarray(cand.column("lang").to_pylist(), dtype=object)
-    return cand.take(pa.array(_strat_keep(ids, langs, per_lang), pa.int64()))
+    keep = _strat_keep(ids, cand.column("lang").to_pylist(), per_lang)
+    return cand.take(pa.array(keep, pa.int64()))
 
 
 def oov_rate_docs(sf_dir: str, vocab_k: int = 1000):
@@ -1950,8 +1954,14 @@ def embedding_neardup_audit(sf_dir: str, threshold: float = 0.42):
         bq = np.floor(bmat * 1024.0 + 0.5)
         bqn = (bq * bq).sum(axis=1)
         dot = (bq[ri] * cq[ci]).sum(axis=1)  # exact: integer sums < 2^53
-        sim_fp = np.floor(
-            1_000_000.0 * (dot / np.sqrt(bqn[ri] * cqn[ci])) + 0.5
+        # a vector whose every |x| < 1/2048 quantizes to all-zero (cosine is
+        # scale-invariant, so it can still pass the raw-sim filter): define
+        # sim_fp = 0 there instead of 0/0 — the SQL oracle does the same
+        den = bqn[ri] * cqn[ci]
+        sim_fp = np.zeros(len(ri), dtype=np.int64)
+        nz = den > 0
+        sim_fp[nz] = np.floor(
+            1_000_000.0 * (dot[nz] / np.sqrt(den[nz])) + 0.5
         ).astype(np.int64)
         return pa.table(
             {"src": pa.array(bids[ri], pa.int64()),

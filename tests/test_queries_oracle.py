@@ -187,6 +187,28 @@ def test_asof_range_join_wide_span_no_overflow(entrymod, tmp_path):
         _compare(ray_df, sql_df, name)
 
 
+def test_stratified_sample_null_lang(entrymod, tmp_path):
+    """A NULL lang is its own stratum (SQL PARTITION BY semantics) — the
+    sampler must neither crash on None-vs-str comparison nor fold nulls
+    into another language."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    langs = (["en"] * 30 + [None] * 30 + ["de"] * 30) * 2
+    tbl = pa.table(
+        {"doc_id": pa.array(list(range(len(langs))), pa.int64()),
+         "lang": pa.array(langs, pa.string())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ray_df = _to_pandas(entrymod.queries()["stratified_sample_docs"](str(tmp_path)))
+    sql_df = c.execute(entrymod.oracle_sql()["stratified_sample_docs"]).fetchdf()
+    _compare(ray_df, sql_df, "stratified_sample_null_lang")
+
+
 def test_top_tokens_unicode_oracle_parity(entrymod, tmp_path):
     """Regression (ADVICE r1): the top_tokens tokenizer must agree with its
     DuckDB oracle on NON-ASCII corpora, not just the all-ASCII testdata."""
