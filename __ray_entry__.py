@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_dct": Q.media_features_dct,
         "stratified_sample_docs": Q.stratified_sample_docs,
         "oov_rate_docs": Q.oov_rate_docs,
+        "redact_docs": Q.redact_docs,
         # --- rows-only (not SQL-expressible) -------------------------------
         "neardup_pages_minhash": Q.neardup_pages_minhash,
         "neardup_pages_minhash_oph": Q.neardup_pages_minhash_oph,
@@ -212,6 +213,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY lang "
             "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 20"
+        ),
+        "redact_docs": (
+            # pattern is RE2-safe, so pyarrow's and DuckDB's regex engines
+            # agree byte-for-byte on both the count and the replacement
+            "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), "
+            "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails, "
+            "regexp_replace(lower(text), "
+            "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g') "
+            "AS redacted_text FROM documents"
         ),
         "oov_rate_docs": (
             "WITH tok AS (SELECT doc_id, "

@@ -851,6 +851,33 @@ def ann_srp_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     return out.set_column(0, "query_id", mapped).select(["query_id", "rank", "vec_id"])
 
 
+_EMAIL_RE_SRC = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+
+
+def redact_docs(sf_dir: str):
+    """PII-style redaction pass (the C4/Pile-style scrub step): replace
+    every email-shaped span in the lowercased text with ``<EMAIL>`` and
+    report the match count — one vectorized ``pyarrow.compute`` regex pass
+    per batch, no Python loop. The pattern is RE2-safe (no backtracking
+    constructs) so pyarrow and DuckDB agree byte-for-byte; the redacted
+    text itself is part of the hash-compared output."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _redact(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch.column("text"))
+        n = pc.count_substring_regex(low, _EMAIL_RE_SRC)
+        red = pc.replace_substring_regex(low, _EMAIL_RE_SRC, "<EMAIL>")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_emails": pc.cast(n, pa.int64()),
+                "redacted_text": red,
+            }
+        )
+
+    return ds.map_batches(_redact, batch_format="pyarrow", batch_size=4096)
+
+
 _IVF_N_LISTS = 16
 
 

@@ -187,6 +187,37 @@ def test_asof_range_join_wide_span_no_overflow(entrymod, tmp_path):
         _compare(ray_df, sql_df, name)
 
 
+def test_redact_docs_planted_emails(entrymod, tmp_path):
+    """The shared testdata has no email-shaped spans, so the redaction
+    oracle there only proves the pass-through; this corpus plants real
+    matches (mixed case, multiples, near-misses, null text) and requires
+    byte-identical pyarrow-vs-DuckDB regex replacement."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "contact Bob.Smith+x@Example.COM now",
+        "two a@b.io and c.d@e-f.org!",
+        "no mail here",
+        None,
+        "edge @ not@an@email x@y.z",
+        "a@b.co a@b.co a@b.co",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ray_df = _to_pandas(entrymod.queries()["redact_docs"](str(tmp_path)))
+    sql_df = c.execute(entrymod.oracle_sql()["redact_docs"]).fetchdf()
+    assert int(ray_df["n_emails"].sum()) == 6  # matches actually planted
+    _compare(ray_df, sql_df, "redact_docs_planted")
+
+
 def test_stratified_sample_null_lang(entrymod, tmp_path):
     """A NULL lang is its own stratum (SQL PARTITION BY semantics) — the
     sampler must neither crash on None-vs-str comparison nor fold nulls
