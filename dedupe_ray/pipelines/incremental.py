@@ -133,16 +133,20 @@ def incremental_match(
     a_s, b_s = a[order], b[order]
     starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]]) if len(a_s) else np.zeros(0, np.int64)
     dup_a, dup_b = a_s[starts], b_s[starts]
-    dup_vals = np.full(len(new_ids), -1, dtype=np.int64)
+    # explicit found-mask (not a -1 sentinel): a legitimately negative
+    # partner id must not be nulled out
+    dup_vals = np.zeros(len(new_ids), dtype=np.int64)
+    found = np.zeros(len(new_ids), dtype=bool)
     if len(dup_a):
         p = np.clip(np.searchsorted(dup_a, new_ids), 0, len(dup_a) - 1)
         hit = dup_a[p] == new_ids
         dup_vals[hit] = dup_b[p[hit]]
+        found = hit
     status = pa.table(
         {
             "doc_id": pa.array(new_ids, pa.int64()),
             "url": pa.array([urls_by_id[int(i)] for i in new_ids], pa.string()),
-            "duplicate_of": pa.array(dup_vals, pa.int64(), mask=dup_vals < 0),
+            "duplicate_of": pa.array(dup_vals, pa.int64(), mask=~found),
         }
     )
     return {"edges": edges, "new_status": status}

@@ -112,11 +112,9 @@ def band_bundle_size(n_rows: int) -> int:
     and a 48 s sort; bundling to ~32 blocks cut it to 9 s. Small inputs
     collapse to a handful of ≥4k-row blocks — the pair-emission pass is
     vectorized, so wide blocks cost nothing."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(4096, n_rows // max(8, 2 * min(cpus, 32)))
+    from dedupe_ray.runtime import cluster_cpus
+
+    return max(4096, n_rows // max(8, 2 * min(cluster_cpus(), 32)))
 
 
 def match_edges(
@@ -201,17 +199,22 @@ def _assign_clusters_join(
         did = block.column("doc_id").to_numpy(zero_copy_only=False)
         side = block.column("__side").to_numpy(zero_copy_only=False)
         cl = block.column("__cl").to_numpy(zero_copy_only=False)
-        order = np.lexsort((side, did))  # sig row (side 0) first per doc
+        order = np.lexsort((side, did))  # sig rows (side 0) first per doc
         did_s, side_s, cl_s = did[order], side[order], cl[order]
-        starts = np.flatnonzero(np.r_[True, did_s[1:] != did_s[:-1]])
-        counts = np.diff(np.r_[starts, len(did_s)])
-        has_sig = side_s[starts] == 0  # guard against orphan cluster rows
-        second = np.clip(starts + 1, 0, len(cl_s) - 1)
-        cid = np.where(counts >= 2, cl_s[second], did_s[starts])
-        take = pa.array(order[starts[has_sig]], pa.int64())
+        boundary = np.r_[True, did_s[1:] != did_s[:-1]]
+        starts = np.flatnonzero(boundary)
+        run_id = np.cumsum(boundary) - 1
+        ends = np.r_[starts[1:], len(did_s)] - 1
+        # the cluster row (if any) sorts LAST in its doc run; every sig row
+        # of the run — including duplicate doc_id rows — gets the same stamp,
+        # matching the broadcast path
+        has_cl = side_s[ends] == 1
+        cid_run = np.where(has_cl, cl_s[ends], did_s[starts])
+        sig_pos = np.flatnonzero(side_s == 0)
+        take = pa.array(order[sig_pos], pa.int64())
         out = block.drop_columns(["__side", "__cl"]).take(take)
         return out.append_column(
-            "cluster_id", pa.array(cid[has_sig], pa.int64())
+            "cluster_id", pa.array(cid_run[run_id[sig_pos]], pa.int64())
         )
 
     stamped = sorted_group_apply(unioned, "doc_id", _stamp_block)
@@ -229,9 +232,16 @@ def _assign_clusters_join(
         else:
             order = np.lexsort((did, cid))
         cid_s = cid[order]
-        starts = np.flatnonzero(np.r_[True, cid_s[1:] != cid_s[:-1]])
-        is_canon = np.zeros(n, dtype=bool)
-        is_canon[order[starts]] = True
+        boundary = np.r_[True, cid_s[1:] != cid_s[:-1]]
+        starts = np.flatnonzero(boundary)
+        run_id = np.cumsum(boundary) - 1
+        # canonical is DOC-level (matches the broadcast path): every row of
+        # the winning doc_id is marked, which matters when a doc_id appears
+        # in multiple rows
+        canon_doc = did[order[starts]]
+        inv_run = np.empty(n, dtype=np.int64)
+        inv_run[order] = run_id
+        is_canon = did == canon_doc[inv_run]
         return block.append_column("is_canonical", pa.array(is_canon, pa.bool_()))
 
     return sorted_group_apply(stamped, "cluster_id", _canon_block)

@@ -462,12 +462,11 @@ def pages_from_documents(
     corpus), floor 8 so small inputs still parallelize."""
     import pyarrow.parquet as pq
 
+    from dedupe_ray.runtime import cluster_cpus
+
     path = f"{sf_dir}/documents.parquet"
     n_docs = pq.ParquetFile(path).metadata.num_rows
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
+    cpus = cluster_cpus()
     total = n_docs * (copies + 1)
     # cap: CPUs on big sessions (64 tiny blocks cost ~50 ms/task dispatch),
     # but 2×CPUs on small sessions — a single wave of CPU-count tasks lets
@@ -1273,6 +1272,14 @@ def _strat_keep(ids: np.ndarray, langs: list, per_lang: int) -> np.ndarray:
     the 2³² modulus, so it matches SQL's exact-product arithmetic).
     A NULL lang is its own stratum (matching SQL's PARTITION BY) — tracked
     with an explicit null flag so the lexsort never compares None to str."""
+    if len(ids) and (ids.min() < 0 or ids.max() >= 1 << 31):
+        # outside this range the SQL side either takes a negative remainder
+        # (signed %) or overflows the int64 product — refuse loudly rather
+        # than silently diverge from the oracle's rank
+        raise ValueError(
+            "stratified sampling requires doc_id in [0, 2^31) for "
+            "engine-portable ranks"
+        )
     rank = (ids.astype(np.uint64) * _STRAT_MULT) % np.uint64(1 << 32)
     is_null = np.fromiter((v is None for v in langs), bool, count=len(langs))
     lang_str = np.asarray(["" if v is None else v for v in langs], dtype=object)
@@ -1303,6 +1310,8 @@ def stratified_sample_docs(sf_dir: str, per_lang: int = 20):
             ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
             .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
         )
+        or [pa.table({"doc_id": pa.array([], pa.int64()),
+                      "lang": pa.array([], pa.string())})]
     )
     ids = cand.column("doc_id").to_numpy(zero_copy_only=False)
     keep = _strat_keep(ids, cand.column("lang").to_pylist(), per_lang)

@@ -104,12 +104,15 @@ def run_neardup_checkpointed(
         ),
         upstream=["edges"],
     )
-    run.stage(
-        "assignment",
-        lambda: assign_clusters(sigs, clusters).drop_columns(
-            [c for c in ("minhash", "simhash", "text", "html") if c in sigs.schema().names]
-        ),
-        upstream=["signatures", "clusters"],
-    )
+    def _assignment():
+        out = assign_clusters(sigs, clusters)
+        # drop columns by what the OUTPUT actually carries — the join
+        # stamping path already excludes the heavy signature columns, and
+        # dropping by the input schema would crash there
+        heavy = [c for c in ("minhash", "simhash", "text", "html")
+                 if c in out.schema().names]
+        return out.drop_columns(heavy) if heavy else out
+
+    run.stage("assignment", _assignment, upstream=["signatures", "clusters"])
     run.write_run_manifest()
     return run.metrics

@@ -80,13 +80,11 @@ def _parquet_blocks(paths: list[str]) -> int | None:
                 return None
     if rows < 1000:
         return 1
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
+    from dedupe_ray.runtime import cluster_cpus
+
     # the CPU cap lifts past 64k rows/block — blocks bound per-task heap as
     # well as dispatch count (the ×400-corpus lesson, PROFILE.md)
-    return int(min(max(rows // 8000, 8), max(8, cpus, rows // 65536)))
+    return int(min(max(rows // 8000, 8), max(8, cluster_cpus(), rows // 65536)))
 
 
 def read_pages(paths: list[str] | str) -> "ray.data.Dataset":

@@ -376,6 +376,43 @@ class TestDistributedMode:
         )
         assert a.equals(c)
 
+    def test_join_stamping_duplicate_and_negative_ids(self, ray_session):
+        """Join mode must agree with broadcast mode on pathological ids:
+        duplicate doc_id rows (each gets the same stamp) and negative ids
+        (no sentinel confusion)."""
+        import ray.data
+
+        from dedupe_ray.pipelines.neardup import assign_clusters
+
+        sigs = ray.data.from_arrow(pa.table(
+            {
+                "doc_id": pa.array([5, 5, -3, 7, 9], pa.int64()),
+                "url": pa.array(["a", "a2", "b", "c", "d"], pa.string()),
+                "warc_ts": pa.array([1, 2, 3, 4, 5], pa.timestamp("us")),
+                "lang": pa.array(["en"] * 5, pa.string()),
+            }
+        ))
+        clusters = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([5, -3], pa.int64()),
+             "cluster_id": pa.array([-3, -3], pa.int64())}
+        ))
+
+        def _collect(out):
+            t = pa.concat_tables(
+                list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+            )
+            return t.select(["doc_id", "url", "cluster_id", "is_canonical"]).sort_by(
+                [("doc_id", "ascending"), ("url", "ascending")]
+            )
+
+        a = _collect(assign_clusters(sigs, clusters, mode="broadcast"))
+        b = _collect(assign_clusters(sigs, clusters, mode="join"))
+        assert a.num_rows == 5  # duplicate doc_id rows both survive
+        assert a.equals(b), f"\n{a.to_pydict()}\nvs\n{b.to_pydict()}"
+        stamped = dict(zip(a.column("url").to_pylist(), a.column("cluster_id").to_pylist()))
+        assert stamped["a"] == stamped["a2"] == stamped["b"] == -3
+        assert stamped["c"] == 7 and stamped["d"] == 9
+
 
 class TestIncrementalMatch:
     def test_new_batch_vs_corpus(self, ray_session, fixture_small):
