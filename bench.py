@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "neardup_docs_jaccard_audit",  # r2: exact shared-shingle audit path
     "doc_repetition_stats",        # r2: Gopher-style repetition filter
     "ann_ivf_topk",                # r2: IVF inverted-file ANN
+    "oov_rate_docs",               # r3: vocab broadcast + OOV scoring
+    "redact_docs",                 # r3: vectorized PII redaction
+    "stratified_sample_docs",      # r3: per-lang partial-top-k sample
 ]
 HEADLINE = "neardup_pages_bench"
 
