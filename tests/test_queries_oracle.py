@@ -313,6 +313,44 @@ def test_jaccard_audit_matches_bruteforce_on_random_corpora(entrymod, tmp_path):
         assert got_pairs == exp, f"seed {seed}"
 
 
+def test_sort_merge_join_random_vs_duckdb(entrymod, ray_session):
+    """Property check of the custom sort-merge join operator against DuckDB
+    inner-join semantics on randomized tables: null keys never match,
+    many-to-many keys produce the full cross product, keys missing from one
+    side drop out."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from dedupe_ray.stages.joins import sort_merge_join
+
+    for seed in (1, 17, 202):
+        rng = np.random.default_rng(seed)
+        n_l, n_r = int(rng.integers(5, 120)), int(rng.integers(5, 120))
+        lk = [int(k) if rng.random() > 0.1 else None for k in rng.integers(0, 15, n_l)]
+        rk = [int(k) if rng.random() > 0.1 else None for k in rng.integers(0, 15, n_r)]
+        left = pa.table({"k": pa.array(lk, pa.int64()),
+                         "lv": pa.array(rng.integers(0, 1000, n_l), pa.int64())})
+        right = pa.table({"rk": pa.array(rk, pa.int64()),
+                          "rv": pa.array(rng.integers(0, 1000, n_r), pa.int64())})
+        got = pa.concat_tables(
+            list(
+                sort_merge_join(
+                    ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    left_on="k", right_on="rk",
+                ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            )
+        )
+        c = duckdb.connect()
+        c.register("l", left)
+        c.register("r", right)
+        exp = c.execute(
+            "SELECT k, lv, rv FROM l JOIN r ON l.k = r.rk"
+        ).fetch_arrow_table()
+        key = lambda t: sorted(zip(*[t.column(c_).to_pylist() for c_ in ("k", "lv", "rv")]))
+        assert key(got) == key(exp), f"seed {seed}"
+
+
 def test_entry_smoke(entrymod):
     df = _to_pandas(entrymod.entry())
     assert len(df) >= 500  # sf0.001 documents → >= 500 pages
