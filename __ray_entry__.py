@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_srp_exact_topk": Q.ann_srp_exact_topk,
         "ann_ivf_exact_topk": Q.ann_ivf_exact_topk,
         "media_features_dct": Q.media_features_dct,
+        "media_features_av": Q.media_features_av,
         "stratified_sample_docs": Q.stratified_sample_docs,
         "oov_rate_docs": Q.oov_rate_docs,
         "redact_docs": Q.redact_docs,
@@ -205,6 +206,11 @@ def oracle_sql() -> dict[str, str]:
         "media_features_dct": (
             "SELECT doc_id AS media_id, CAST(TRUE AS BOOLEAN) AS decode_ok "
             "FROM documents"
+        ),
+        "media_features_av": (
+            "SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END AS media_type, "
+            "CAST(TRUE AS BOOLEAN) AS decode_ok FROM documents"
         ),
         "stratified_sample_docs": (
             # same Knuth multiplicative rank as _strat_keep; doc_id·M stays

@@ -692,6 +692,68 @@ def media_features_dct(sf_dir: str):
     return out.select_columns(["media_id", "decode_ok"]).sort("media_id")
 
 
+def media_features_av(sf_dir: str):
+    """REAL audio + video decode through the actor-pool media stage: even
+    docs become 16-bit PCM WAV clips (tone frequency derived from doc_id,
+    pure-numpy RIFF encode/decode), odd docs become concatenated-PNM frame
+    streams (frame-sampled + per-frame dhash). Exercises the audio RMS/ZCR
+    and video frame-sample paths end-to-end in this codec-less container;
+    decode_ok is oracle-checked."""
+    from dedupe_ray.stages.multimodal import MediaFeatureStage
+
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+
+    def _as_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        x = np.arange(24)
+        base = np.add.outer(x * 5, x * 7)
+        payloads, types = [], []
+        t = np.arange(1600) / 8000.0
+        for i in ids:
+            if int(i) % 2 == 0:
+                freq = 100.0 + (int(i) % 40) * 10.0
+                pcm = (0.4 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+                data = pcm.tobytes()
+                fmt = (
+                    (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                    + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+                    + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+                )
+                payloads.append(
+                    b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+                    + b"fmt " + (16).to_bytes(4, "little") + fmt
+                    + b"data" + len(data).to_bytes(4, "little") + data
+                )
+                types.append("audio")
+            else:
+                frame_payloads = [
+                    b"P5\n24 24\n255\n"
+                    + ((base + int(i) * 3 + k * 11) % 256).astype(np.uint8).tobytes()
+                    for k in range(4)
+                ]
+                payloads.append(b"".join(frame_payloads))
+                types.append("video")
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "url": pa.array([f"av://{i}" for i in ids], pa.string()),
+                "media_type": pa.array(types, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array([24] * n, pa.int32()),
+                "height": pa.array([24] * n, pa.int32()),
+                "duration_ms": pa.array([200] * n, pa.int32()),
+            }
+        )
+
+    media = ds.map_batches(_as_media, batch_format="pyarrow", batch_size=1024)
+    out = media.map_batches(
+        MediaFeatureStage, fn_constructor_kwargs={"mode": "real"},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4),
+    )
+    return out.select_columns(["media_id", "media_type", "decode_ok"]).sort("media_id")
+
+
 def neardup_docs_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
     """Near-dup clusters with EXACT word-shingle Jaccard verification:
     minhash-LSH proposes candidates distributedly; the (small) candidate

@@ -32,7 +32,8 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "MEDIA_SCHEMA", "MediaFeatureStage", "decode_image", "dhash_features",
-    "dct_phash64", "dct_features",
+    "dct_phash64", "dct_features", "decode_wav", "audio_features",
+    "iter_pnm_frames", "video_features",
 ]
 
 # media records: opaque payload + typed metadata (SURVEY: treat image/audio/
@@ -158,6 +159,115 @@ def dhash_features(gray: np.ndarray, dim: int = 64) -> np.ndarray:
     return (bits.reshape(-1).astype(np.float32) * 2.0) - 1.0
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE 16-bit PCM → (mono float32 samples in [-1, 1], sample_rate).
+    Pure numpy — REAL audio decode in a codec-less container. Multi-channel
+    input is averaged to mono. Raises on non-PCM / non-16-bit payloads
+    (callers quarantine, drop-and-continue semantics)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or n_channels < 1:
+        raise ValueError(f"unsupported WAVE: format={audio_format} bits={bits}")
+    raw = np.frombuffer(data, dtype="<i2")
+    n = len(raw) // n_channels * n_channels
+    mono = raw[:n].reshape(-1, n_channels).astype(np.float32).mean(axis=1)
+    return mono / 32768.0, sample_rate
+
+
+def audio_features(samples: np.ndarray, dim: int = 64) -> np.ndarray:
+    """Per-frame RMS energy + zero-crossing rate over ``dim // 2`` equal
+    frames, interleaved → a ``dim``-float vector. The audio analog of the
+    image gradient features: fully vectorized (reduceat over frame edges)."""
+    n_frames = dim // 2
+    n = len(samples)
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    if n < n_frames:  # short clip: zero-pad so every frame edge is valid
+        samples = np.r_[samples.astype(np.float32), np.zeros(n_frames - n, np.float32)]
+        n = n_frames
+    edges = (np.arange(n_frames, dtype=np.int64) * n) // n_frames
+    counts = np.diff(np.r_[edges, n]).astype(np.float64)
+    counts[counts == 0] = 1.0
+    sq = samples.astype(np.float64) ** 2
+    rms = np.sqrt(np.add.reduceat(sq, edges) / counts)
+    crossings = (np.signbit(samples[1:]) != np.signbit(samples[:-1])).astype(np.float64)
+    zcr = np.add.reduceat(np.r_[crossings, 0.0], edges) / counts
+    out = np.empty(dim, dtype=np.float32)
+    out[0::2] = rms
+    out[1::2] = zcr
+    return out
+
+
+def iter_pnm_frames(payload: bytes):
+    """Iterate the gray planes of a concatenated binary-PNM frame stream —
+    the engine's simple deterministic video container (P5/P6 frames appended
+    back to back). Yields (h, w)/(h, w, 3) arrays; raises on a malformed
+    frame so callers quarantine the whole payload."""
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] not in (b"P5", b"P6"):
+            raise ValueError(f"bad frame magic at offset {pos}")
+        frame = _parse_pnm(payload[pos:])
+        yield frame
+        ch = 3 if frame.ndim == 3 else 1
+        # header length = bytes consumed before pixel data; recompute by
+        # scanning the same way _parse_pnm did
+        p = pos + 2
+        fields = 0
+        while fields < 3:
+            while payload[p : p + 1].isspace():
+                p += 1
+            if payload[p : p + 1] == b"#":
+                while payload[p] != 0x0A:
+                    p += 1
+                continue
+            while not payload[p : p + 1].isspace():
+                p += 1
+            fields += 1
+        p += 1
+        h, w = frame.shape[:2]
+        pos = p + h * w * ch
+
+
+def video_features(payload: bytes, dim: int = 64, sample_every: int = 2) -> np.ndarray:
+    """FRAME-SAMPLE + per-frame hash: take every ``sample_every``-th frame
+    of a PNM frame stream, dhash each sampled frame, average the ±1 bit
+    vectors → one ``dim``-float video signature. The actor-pool stage shape
+    for video at scale: decode cost is bounded by the sampling rate, not
+    the frame count."""
+    feats = []
+    for i, frame in enumerate(iter_pnm_frames(payload)):
+        if i % sample_every:
+            continue
+        if frame.ndim == 3:
+            rgb = frame.astype(np.float32)
+            gray = rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+        else:
+            gray = frame.astype(np.float32)
+        feats.append(dhash_features(gray, dim))
+    if not feats:
+        raise ValueError("no frames sampled")
+    return np.mean(np.stack(feats), axis=0).astype(np.float32)
+
+
 def dct_phash64(gray: np.ndarray) -> np.uint64:
     """DCT perceptual hash — the reference's higher-quality algo slot
     (/root/reference/hash/hash.go:81-155): resize to 32×32, 2-D DCT-II,
@@ -232,6 +342,11 @@ class MediaFeatureStage:
 
     def _decode_payload(self, payload: bytes, media_type: str) -> np.ndarray:
         if self.mode == "real":
+            if media_type == "audio":
+                samples, _rate = decode_wav(payload)
+                return audio_features(samples, self.FEATURE_DIM)
+            if media_type == "video":
+                return video_features(payload, self.FEATURE_DIM)
             if media_type not in (None, "image"):
                 raise ValueError(f"no decoder for media_type={media_type!r}")
             gray = decode_image(payload, self._pil)

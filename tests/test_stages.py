@@ -274,6 +274,96 @@ class TestMultimodal:
         assert out.column("decode_ok").to_pylist() == [True, False, False]
 
 
+    @staticmethod
+    def _wav_bytes(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
+        pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+        if channels > 1:
+            pcm = np.repeat(pcm[:, None], channels, axis=1)
+        data = pcm.tobytes()
+        fmt = (
+            (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * channels * 2).to_bytes(4, "little")
+            + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        return (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+
+    def test_real_audio_decode_wav(self):
+        """16-bit PCM WAV decodes for real (pure numpy); stereo averages to
+        mono; features are deterministic and shaped FEATURE_DIM."""
+        from dedupe_ray.stages.multimodal import audio_features, decode_wav
+
+        t = np.arange(4000) / 8000.0
+        sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+        mono, rate = decode_wav(self._wav_bytes(sig))
+        assert rate == 8000 and len(mono) == 4000
+        assert np.abs(mono - sig).max() < 1e-3  # 16-bit quantization only
+        stereo, _ = decode_wav(self._wav_bytes(sig, channels=2))
+        assert np.allclose(stereo, mono)
+        f = audio_features(mono)
+        assert f.shape == (64,) and np.array_equal(f, audio_features(mono))
+        assert f[0::2].max() > 0.1  # RMS of a loud sine
+        # short clip: zero-padded, no crash
+        assert audio_features(mono[:5]).shape == (64,)
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFF....WAVEjunk")
+
+    def test_real_video_frame_sample(self):
+        """A concatenated-P5 frame stream decodes frame by frame; sampling
+        every 2nd frame hashes 3 of 6; a constant stream equals the
+        single-frame dhash."""
+        from dedupe_ray.stages.multimodal import (
+            dhash_features, iter_pnm_frames, video_features,
+        )
+
+        ramp = np.tile(np.linspace(0, 255, 18, dtype=np.uint8), (16, 1))
+        frame = b"P5\n18 16\n255\n" + ramp.tobytes()
+        stream = frame * 6
+        frames = list(iter_pnm_frames(stream))
+        assert len(frames) == 6 and frames[3].shape == (16, 18)
+        feats = video_features(stream, sample_every=2)
+        assert np.array_equal(feats, dhash_features(ramp.astype(np.float32)))
+        with pytest.raises(ValueError):
+            video_features(b"P5\n2 2\n255\n" + b"\x00")  # truncated frame
+
+    def test_media_stage_real_audio_video_quarantine(self, ray_session):
+        """mode='real' routes audio→WAV decode, video→frame sampling; a
+        corrupt payload of either type quarantines, the job continues."""
+        import ray.data
+
+        from dedupe_ray.stages.multimodal import MediaFeatureStage
+
+        t = np.arange(2000) / 8000.0
+        wav = self._wav_bytes(0.3 * np.sin(2 * np.pi * 200 * t))
+        ramp = np.tile(np.linspace(0, 255, 10, dtype=np.uint8), (8, 1))
+        vid = (b"P5\n10 8\n255\n" + ramp.tobytes()) * 4
+        tbl = pa.table(
+            {
+                "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "url": ["a", "b", "c", "d"],
+                "media_type": ["audio", "video", "audio", "video"],
+                "payload": pa.array([wav, vid, b"not-audio", b"not-video"], pa.binary()),
+                "width": pa.array([0] * 4, pa.int32()),
+                "height": pa.array([0] * 4, pa.int32()),
+                "duration_ms": pa.array([250, 0, 0, 0], pa.int32()),
+            }
+        )
+        out = pa.concat_tables(
+            list(
+                ray.data.from_arrow(tbl)
+                .map_batches(
+                    MediaFeatureStage, fn_constructor_kwargs={"mode": "real"},
+                    batch_format="pyarrow", batch_size=4, concurrency=1,
+                )
+                .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            )
+        ).sort_by("media_id")
+        assert out.column("decode_ok").to_pylist() == [True, True, False, False]
+
     def test_dct_phash_matches_reference_formula(self):
         """The matmul DCT-II must equal the reference's table-based
         cosine-product sum (/root/reference/hash/hash.go:96-126) on random
