@@ -699,7 +699,7 @@ def media_features_av(sf_dir: str):
     streams (frame-sampled + per-frame dhash). Exercises the audio RMS/ZCR
     and video frame-sample paths end-to-end in this codec-less container;
     decode_ok is oracle-checked."""
-    from dedupe_ray.stages.multimodal import MediaFeatureStage
+    from dedupe_ray.stages.multimodal import MediaFeatureStage, encode_wav
 
     ds = read_table(sf_dir, "documents", ["doc_id"])
 
@@ -712,18 +712,7 @@ def media_features_av(sf_dir: str):
         for i in ids:
             if int(i) % 2 == 0:
                 freq = 100.0 + (int(i) % 40) * 10.0
-                pcm = (0.4 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
-                data = pcm.tobytes()
-                fmt = (
-                    (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
-                    + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
-                    + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
-                )
-                payloads.append(
-                    b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
-                    + b"fmt " + (16).to_bytes(4, "little") + fmt
-                    + b"data" + len(data).to_bytes(4, "little") + data
-                )
+                payloads.append(encode_wav(0.4 * np.sin(2 * np.pi * freq * t)))
                 types.append("audio")
             else:
                 frame_payloads = [

@@ -32,8 +32,8 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "MEDIA_SCHEMA", "MediaFeatureStage", "decode_image", "dhash_features",
-    "dct_phash64", "dct_features", "decode_wav", "audio_features",
-    "iter_pnm_frames", "video_features",
+    "dct_phash64", "dct_features", "decode_wav", "encode_wav",
+    "audio_features", "iter_pnm_frames", "video_features",
 ]
 
 # media records: opaque payload + typed metadata (SURVEY: treat image/audio/
@@ -51,13 +51,15 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def _parse_pnm(payload: bytes) -> np.ndarray:
-    """P5 (PGM) / P6 (PPM) binary formats → (h, w) or (h, w, 3) uint8."""
-    magic = payload[:2]
+def _parse_pnm_at(payload: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    """P5 (PGM) / P6 (PPM) binary frame starting at ``offset`` →
+    ((h, w) or (h, w, 3) uint8 VIEW into the payload, end offset). Zero-copy
+    (``np.frombuffer``), so multi-frame streams parse in O(total bytes)."""
+    magic = payload[offset : offset + 2]
     if magic not in (b"P5", b"P6"):
-        raise ValueError("not a binary PNM payload")
+        raise ValueError(f"not a binary PNM payload at offset {offset}")
     # header: magic, width, height, maxval — whitespace separated, '#' comments
-    pos = 2
+    pos = offset + 2
     fields: list[int] = []
     while len(fields) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
@@ -69,6 +71,8 @@ def _parse_pnm(payload: bytes) -> np.ndarray:
         start = pos
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
+        if pos == start:
+            raise ValueError("truncated PNM header")
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
@@ -76,7 +80,21 @@ def _parse_pnm(payload: bytes) -> np.ndarray:
         raise ValueError("16-bit PNM not supported")
     ch = 3 if magic == b"P6" else 1
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
-    return data.reshape(h, w, 3) if ch == 3 else data.reshape(h, w)
+    arr = data.reshape(h, w, 3) if ch == 3 else data.reshape(h, w)
+    return arr, pos + w * h * ch
+
+
+def _parse_pnm(payload: bytes) -> np.ndarray:
+    """P5 (PGM) / P6 (PPM) binary formats → (h, w) or (h, w, 3) uint8."""
+    return _parse_pnm_at(payload, 0)[0]
+
+
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    """ITU-R 601 luma — the reference's grayscale weighting
+    (/root/reference/hash/hash.go:47-50), shared by the image and video
+    paths so cross-modal hashes stay comparable."""
+    f = rgb.astype(np.float32)
+    return f[:, :, 0] * 0.299 + f[:, :, 1] * 0.587 + f[:, :, 2] * 0.114
 
 
 def _parse_bmp(payload: bytes) -> np.ndarray:
@@ -120,10 +138,7 @@ def decode_image(payload: bytes, pil_image_module=None) -> np.ndarray:
         arr = _parse_bmp(payload)
     if arr.ndim == 2:
         return arr.astype(np.float32)
-    # ITU-R 601 luma — the reference's grayscale weighting
-    # (/root/reference/hash/hash.go grayscale step)
-    rgb = arr.astype(np.float32)
-    return rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+    return _luma(arr)
 
 
 def _area_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -173,6 +188,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # a truncated chunk must QUARANTINE, not silently decode a
+            # half-length clip as decode_ok
+            raise ValueError(f"truncated WAVE chunk {cid!r}: {len(body)} < {size}")
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
@@ -190,6 +209,27 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     n = len(raw) // n_channels * n_channels
     mono = raw[:n].reshape(-1, n_channels).astype(np.float32).mean(axis=1)
     return mono / 32768.0, sample_rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
+    """float [-1, 1] samples → RIFF/WAVE 16-bit PCM bytes — the encoder dual
+    of :func:`decode_wav` (one implementation, shared by the synthetic-media
+    queries and the tests)."""
+    pcm = (np.clip(np.asarray(samples), -1, 1) * 32767).astype("<i2")
+    if channels > 1:
+        pcm = np.repeat(pcm[:, None], channels, axis=1)
+    data = pcm.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * 2).to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    return (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
 
 
 def audio_features(samples: np.ndarray, dim: int = 64) -> np.ndarray:
@@ -217,52 +257,31 @@ def audio_features(samples: np.ndarray, dim: int = 64) -> np.ndarray:
 
 
 def iter_pnm_frames(payload: bytes):
-    """Iterate the gray planes of a concatenated binary-PNM frame stream —
-    the engine's simple deterministic video container (P5/P6 frames appended
-    back to back). Yields (h, w)/(h, w, 3) arrays; raises on a malformed
-    frame so callers quarantine the whole payload."""
+    """Iterate the frames of a concatenated binary-PNM frame stream — the
+    engine's simple deterministic video container (P5/P6 frames appended
+    back to back). Yields zero-copy (h, w)/(h, w, 3) uint8 views; raises on
+    a malformed frame so callers quarantine the whole payload."""
     pos = 0
     while pos < len(payload):
-        if payload[pos : pos + 2] not in (b"P5", b"P6"):
-            raise ValueError(f"bad frame magic at offset {pos}")
-        frame = _parse_pnm(payload[pos:])
+        frame, pos = _parse_pnm_at(payload, pos)
         yield frame
-        ch = 3 if frame.ndim == 3 else 1
-        # header length = bytes consumed before pixel data; recompute by
-        # scanning the same way _parse_pnm did
-        p = pos + 2
-        fields = 0
-        while fields < 3:
-            while payload[p : p + 1].isspace():
-                p += 1
-            if payload[p : p + 1] == b"#":
-                while payload[p] != 0x0A:
-                    p += 1
-                continue
-            while not payload[p : p + 1].isspace():
-                p += 1
-            fields += 1
-        p += 1
-        h, w = frame.shape[:2]
-        pos = p + h * w * ch
 
 
-def video_features(payload: bytes, dim: int = 64, sample_every: int = 2) -> np.ndarray:
+def video_features(payload: bytes, dim: int = 64, sample_every: int = 2,
+                   features=None) -> np.ndarray:
     """FRAME-SAMPLE + per-frame hash: take every ``sample_every``-th frame
-    of a PNM frame stream, dhash each sampled frame, average the ±1 bit
-    vectors → one ``dim``-float video signature. The actor-pool stage shape
-    for video at scale: decode cost is bounded by the sampling rate, not
-    the frame count."""
+    of a PNM frame stream, hash each sampled frame (``features`` — dhash by
+    default, any ``(gray, dim) -> vector`` e.g. ``dct_features``), average
+    the ±1 vectors → one ``dim``-float video signature. Frames are zero-copy
+    views, so skipped frames cost only the header scan — hashing work is
+    bounded by the sampling rate, not the frame count."""
+    features = features or dhash_features
     feats = []
     for i, frame in enumerate(iter_pnm_frames(payload)):
         if i % sample_every:
             continue
-        if frame.ndim == 3:
-            rgb = frame.astype(np.float32)
-            gray = rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
-        else:
-            gray = frame.astype(np.float32)
-        feats.append(dhash_features(gray, dim))
+        gray = _luma(frame) if frame.ndim == 3 else frame.astype(np.float32)
+        feats.append(features(gray, dim))
     if not feats:
         raise ValueError("no frames sampled")
     return np.mean(np.stack(feats), axis=0).astype(np.float32)
@@ -346,7 +365,10 @@ class MediaFeatureStage:
                 samples, _rate = decode_wav(payload)
                 return audio_features(samples, self.FEATURE_DIM)
             if media_type == "video":
-                return video_features(payload, self.FEATURE_DIM)
+                # same algo dispatch as images: sampled frames hash with
+                # dhash or dct per the stage's configured algo
+                return video_features(payload, self.FEATURE_DIM,
+                                      features=self._features)
             if media_type not in (None, "image"):
                 raise ValueError(f"no decoder for media_type={media_type!r}")
             gray = decode_image(payload, self._pil)

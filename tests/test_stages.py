@@ -276,21 +276,9 @@ class TestMultimodal:
 
     @staticmethod
     def _wav_bytes(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
-        pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2")
-        if channels > 1:
-            pcm = np.repeat(pcm[:, None], channels, axis=1)
-        data = pcm.tobytes()
-        fmt = (
-            (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
-            + rate.to_bytes(4, "little")
-            + (rate * channels * 2).to_bytes(4, "little")
-            + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
-        )
-        return (
-            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
-            + b"fmt " + (16).to_bytes(4, "little") + fmt
-            + b"data" + len(data).to_bytes(4, "little") + data
-        )
+        from dedupe_ray.stages.multimodal import encode_wav
+
+        return encode_wav(samples, rate, channels)
 
     def test_real_audio_decode_wav(self):
         """16-bit PCM WAV decodes for real (pure numpy); stereo averages to
@@ -311,6 +299,10 @@ class TestMultimodal:
         assert audio_features(mono[:5]).shape == (64,)
         with pytest.raises(ValueError):
             decode_wav(b"RIFF....WAVEjunk")
+        # truncated data chunk must raise (quarantine), not half-decode
+        full = self._wav_bytes(sig)
+        with pytest.raises(ValueError):
+            decode_wav(full[: len(full) - 100])
 
     def test_real_video_frame_sample(self):
         """A concatenated-P5 frame stream decodes frame by frame; sampling
@@ -329,6 +321,13 @@ class TestMultimodal:
         assert np.array_equal(feats, dhash_features(ramp.astype(np.float32)))
         with pytest.raises(ValueError):
             video_features(b"P5\n2 2\n255\n" + b"\x00")  # truncated frame
+        # P6 color frames + algo dispatch: dct features over sampled frames
+        from dedupe_ray.stages.multimodal import dct_features, decode_image
+
+        rgb = np.repeat(ramp[:, :, None], 3, axis=2)
+        p6 = b"P6\n18 16\n255\n" + rgb.tobytes()
+        feats_dct = video_features(p6 * 3, sample_every=1, features=dct_features)
+        assert np.array_equal(feats_dct, dct_features(decode_image(p6)))
 
     def test_media_stage_real_audio_video_quarantine(self, ray_session):
         """mode='real' routes audio→WAV decode, video→frame sampling; a
