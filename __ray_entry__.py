@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": Q.stratified_sample_docs,
         "oov_rate_docs": Q.oov_rate_docs,
         "redact_docs": Q.redact_docs,
+        "segment_dedup_docs": Q.segment_dedup_docs,
         # --- rows-only (not SQL-expressible) -------------------------------
         "neardup_pages_minhash": Q.neardup_pages_minhash,
         "neardup_pages_minhash_oph": Q.neardup_pages_minhash_oph,
@@ -219,6 +220,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY lang "
             "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 20"
+        ),
+        "segment_dedup_docs": (
+            "WITH seg AS (SELECT doc_id, u.s AS s FROM documents, "
+            "unnest(string_split(text, '. ')) AS u(s)), "
+            "cnt AS (SELECT s, count(*) AS c FROM seg GROUP BY s), "
+            "ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments "
+            "FROM seg GROUP BY doc_id), "
+            "nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd FROM seg "
+            "WHERE s IN (SELECT s FROM cnt WHERE c >= 3) GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(n_segments, 0) AS n_segments, "
+            "COALESCE(nd, 0) AS n_dup_segments FROM documents d "
+            "LEFT JOIN ns USING (doc_id) LEFT JOIN nd USING (doc_id)"
         ),
         "redact_docs": (
             # pattern is RE2-safe, so pyarrow's and DuckDB's regex engines

@@ -901,6 +901,71 @@ def ann_srp_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     return out.set_column(0, "query_id", mapped).select(["query_id", "rank", "vec_id"])
 
 
+def segment_dedup_docs(sf_dir: str, min_count: int = 3):
+    """C4-style repeated-segment detection (Raffel et al. 2020 §2.2 removed
+    any three-sentence span occurring more than once): segments = literal
+    '. ' splits; a segment is REPEATED when it occurs ≥ ``min_count`` times
+    corpus-wide. Two phases: distributed segment counts (per-batch partials
+    → groupby.sum → threshold filter: only the repeated-segment vocabulary
+    reaches the driver, broadcast once), then one streaming pass counts each
+    doc's repeated segments. At 10¹² docs the broadcast side becomes hashed
+    segments + a count-min sketch; the phase structure is unchanged."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _seg_partial(batch: pa.Table) -> pa.Table:
+        segs: list[str] = []
+        for t in batch.column("text").to_pylist():
+            if t is not None:
+                segs.extend(t.split(". "))
+        if not segs:
+            return pa.table({"s": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.asarray(segs, dtype=object), return_counts=True)
+        return pa.table({"s": pa.array(uniq.tolist(), pa.string()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    totals = (
+        ds.map_batches(_seg_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("s")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    rep_parts = list(
+        totals.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("c"), min_count)).select(["s"]),
+            batch_format="pyarrow", batch_size=None,
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    rep = (
+        np.sort(np.asarray(pa.concat_tables(rep_parts).column("s").to_pylist()))
+        if rep_parts
+        else np.asarray([], dtype=object)
+    )
+    rep_ref = ray.put(rep)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        r = ray.get(rep_ref)
+        n_seg, n_dup = [], []
+        for t in batch.column("text").to_pylist():
+            if t is None:
+                n_seg.append(0)
+                n_dup.append(0)
+                continue
+            segs = np.asarray(t.split(". "))
+            n_seg.append(len(segs))
+            n_dup.append(int(np.isin(segs, r).sum()) if len(r) else 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_segments": pa.array(n_seg, pa.int64()),
+                "n_dup_segments": pa.array(n_dup, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow", batch_size=1024)
+
+
 _EMAIL_RE_SRC = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 
 

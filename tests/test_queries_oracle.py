@@ -218,6 +218,40 @@ def test_redact_docs_planted_emails(entrymod, tmp_path):
     _compare(ray_df, sql_df, "redact_docs_planted")
 
 
+def test_segment_dedup_planted_repeats(entrymod, tmp_path):
+    """C4-style repeated-segment counts with a boilerplate sentence planted
+    in 4 docs (>= the min_count threshold), one sentence at exactly 2
+    occurrences (below it), and a null-text row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    boiler = "subscribe to our newsletter"
+    twice = "cookie notice"
+    texts = [
+        f"{boiler}. unique alpha. {twice}",
+        f"{boiler}. unique beta",
+        f"{boiler}. unique gamma. {twice}",
+        f"{boiler}. unique delta",
+        None,
+        "totally unrelated text",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ray_df = _to_pandas(entrymod.queries()["segment_dedup_docs"](str(tmp_path)))
+    sql_df = c.execute(entrymod.oracle_sql()["segment_dedup_docs"]).fetchdf()
+    by_id = ray_df.set_index("doc_id")
+    assert int(by_id.loc[0, "n_dup_segments"]) == 1  # boiler yes, twice no
+    assert int(by_id.loc[4, "n_segments"]) == 0  # null text
+    _compare(ray_df, sql_df, "segment_dedup_planted")
+
+
 def test_stratified_sample_null_lang(entrymod, tmp_path):
     """A NULL lang is its own stratum (SQL PARTITION BY semantics) — the
     sampler must neither crash on None-vs-str comparison nor fold nulls
