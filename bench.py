@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "oov_rate_docs",               # r3: vocab broadcast + OOV scoring
     "redact_docs",                 # r3: vectorized PII redaction
     "stratified_sample_docs",      # r3: per-lang partial-top-k sample
+    "segment_dedup_docs",          # r3: C4-style repeated-segment counts
 ]
 HEADLINE = "neardup_pages_bench"
 
