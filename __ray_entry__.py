@@ -24,6 +24,12 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDERING CONTRACT: every query with an ``oracle_sql()`` entry comes
+    # FIRST — the driver's correctness snapshot covers only the first 50
+    # entries, and the oracled set (including the exact audits that certify
+    # the approximate near-dup family) must all land inside that window.
+    # ``tests/test_queries_oracle.py::test_oracled_queries_precede_unoracled``
+    # pins this invariant.
     return {
         # --- SQL-oracled ---------------------------------------------------
         "lang_counts": Q.lang_counts,
@@ -59,26 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": Q.oov_rate_docs,
         "redact_docs": Q.redact_docs,
         "segment_dedup_docs": Q.segment_dedup_docs,
-        # --- rows-only (not SQL-expressible) -------------------------------
-        "neardup_pages_minhash": Q.neardup_pages_minhash,
-        "neardup_pages_minhash_oph": Q.neardup_pages_minhash_oph,
-        "neardup_pages_bench": Q.neardup_pages_bench,
-        "neardup_docs_simhash": Q.neardup_docs_simhash,
-        "neardup_docs_simhash_wide": Q.neardup_docs_simhash_wide,
-        "compare_lookup": Q.compare_lookup,
-        "embedding_neardup": Q.embedding_neardup,
-        "langid_docs": Q.langid_docs,
         "quality_docs": Q.quality_docs,
-        "fingerprint_docs": Q.fingerprint_docs,
         "media_features": Q.media_features,
-        "neardup_docs_ngram_jaccard": Q.neardup_docs_ngram_jaccard,
-        "ann_srp_topk": Q.ann_srp_topk,
-        "ann_ivf_topk": Q.ann_ivf_topk,
-        "cluster_groups": Q.cluster_groups,
-        "incremental_match_docs": Q.incremental_match_docs,
-        "containment_docs": Q.containment_docs,
-        "training_corpus": Q.training_corpus,
-        "distinct_users_hll": Q.distinct_users_hll,
         "distinct_users_exact": Q.distinct_users_exact,
         # --- SQL-oracled exact audits of the near-dup family ---------------
         "neardup_docs_jaccard_audit": Q.neardup_docs_jaccard_audit,
@@ -89,6 +77,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_audit": Q.embedding_neardup_audit,
         "doc_repetition_stats": Q.doc_repetition_stats,
         "cluster_groups_audit": Q.cluster_groups_audit,
+        "langid_docs": Q.langid_docs,
+        "fingerprint_docs": Q.fingerprint_docs,
+        "neardup_docs_hamming_audit": Q.neardup_docs_hamming_audit,
+        # --- rows-only (not SQL-expressible) -------------------------------
+        "neardup_pages_minhash": Q.neardup_pages_minhash,
+        "neardup_pages_minhash_oph": Q.neardup_pages_minhash_oph,
+        "neardup_pages_bench": Q.neardup_pages_bench,
+        "neardup_docs_simhash": Q.neardup_docs_simhash,
+        "neardup_docs_simhash_wide": Q.neardup_docs_simhash_wide,
+        "compare_lookup": Q.compare_lookup,
+        "embedding_neardup": Q.embedding_neardup,
+        "neardup_docs_ngram_jaccard": Q.neardup_docs_ngram_jaccard,
+        "ann_srp_topk": Q.ann_srp_topk,
+        "ann_ivf_topk": Q.ann_ivf_topk,
+        "cluster_groups": Q.cluster_groups,
+        "incremental_match_docs": Q.incremental_match_docs,
+        "containment_docs": Q.containment_docs,
+        "training_corpus": Q.training_corpus,
+        "distinct_users_hll": Q.distinct_users_hll,
     }
 
 
@@ -122,6 +129,38 @@ _TOPK_SQL = (
     "(PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank, "
     "vec_id FROM scored QUALIFY rank <= 10"
 )
+
+
+# winnowing oracle constants (functions/fingerprint.py): BASE^m mod 2^64 for
+# m = 0..7, the splitmix finalizer multiplier, and 2^64 — inlined as HUGEINT
+# literals so DuckDB reproduces the uint64 wrap arithmetic exactly.
+_FP_POWERS = [
+    1, 1000003, 1000006000009, 1000009000027000027, 14003818205314896721,
+    14453212906556403763, 10923514805226455897, 12924618581234127435,
+]
+_FP_PW = "[" + ", ".join(f"CAST({p} AS HUGEINT)" for p in _FP_POWERS) + "]"
+_FP_M64 = "18446744073709551616"
+_FP_MIX = "18397679294719823053"  # 0xFF51AFD7ED558CCD
+_FP_RAW = " + ".join(
+    ["CAST(b[i] AS HUGEINT) * pw[ke]"]
+    + [
+        f"CASE WHEN ke >= {j + 1} THEN CAST(b[i+{j}] AS HUGEINT) * pw[ke-{j}] "
+        "ELSE 0 END"
+        for j in range(1, 8)
+    ]
+)
+
+
+def _langid_profile_values() -> str:
+    """(lang, words) VALUES rows from the langid profiles — the oracle scores
+    the SAME word lists the Ray kernel scores."""
+    from dedupe_ray.functions.langid import LANG_PROFILES
+
+    return ", ".join(
+        "('%s', [%s])"
+        % (lang, ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang])))
+        for lang in sorted(LANG_PROFILES)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -291,6 +330,84 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, i::DOUBLE / (sizes.n + tn.n - i) AS jaccard "
             "FROM inter JOIN sizes USING (doc_id) CROSS JOIN tn "
             "WHERE i::DOUBLE / (sizes.n + tn.n - i) >= 0.5"
+        ),
+        "langid_docs": (
+            # mirrors functions/langid.py: score = hits/n (single float64
+            # division, identical bits both engines), strict-> tie-break =
+            # alphabetically-first max scorer, und below 3 tokens or 0.08
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "sc AS (SELECT doc_id, p.lang, "
+            "CAST(len(list_filter(t, x -> list_contains(p.words, x))) AS DOUBLE)"
+            " / len(t) AS score "
+            f"FROM tok, (VALUES {_langid_profile_values()}) AS p(lang, words) "
+            "WHERE len(t) >= 3), "
+            "best AS (SELECT doc_id, lang, score, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM sc) "
+            "SELECT d.doc_id AS doc_id, "
+            "COALESCE(CASE WHEN b.score >= 0.08 THEN b.lang END, 'und') "
+            "AS pred_lang "
+            "FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1"
+        ),
+        "fingerprint_docs": (
+            # winnowing (functions/fingerprint.py) replayed in SQL: per-byte
+            # rolling polynomial hash mod 2^64 (HUGEINT wrap arithmetic, the
+            # 64x64->64 multiply split into two 32x64 halves), splitmix-style
+            # finalizer, then rightmost-min-per-16-window selection. Assumes
+            # ASCII text (codepoint == utf-8 byte) — true of the testdata and
+            # asserted cheap in the Ray kernel's docstring.
+            "WITH d AS (SELECT doc_id, lower(COALESCE(text, '')) AS lt, "
+            "length(COALESCE(text, '')) AS n FROM documents), "
+            "bl AS (SELECT doc_id, n, least(n, 8) AS ke, "
+            "n - least(n, 8) + 1 AS m, "
+            "list_transform(range(1, n + 1), i -> ascii(lt[i])) AS b, "
+            f"{_FP_PW} AS pw FROM d WHERE n > 0), "
+            f"raw AS (SELECT doc_id, m, i, ({_FP_RAW}) % {_FP_M64} AS r "
+            "FROM bl, UNNEST(range(1, m + 1)) AS u(i)), "
+            "m1 AS (SELECT doc_id, m, i, CAST(xor(CAST(r AS UBIGINT), "
+            "CAST(r AS UBIGINT) >> 33) AS HUGEINT) AS h1 FROM raw), "
+            f"m2 AS (SELECT doc_id, m, i, ((h1 % 4294967296) * {_FP_MIX} + "
+            f"((h1 // 4294967296) * {_FP_MIX} % 4294967296) * 4294967296) "
+            f"% {_FP_M64} AS h2 FROM m1), "
+            "hh AS (SELECT doc_id, m, i, xor(CAST(h2 AS UBIGINT), "
+            "CAST(h2 AS UBIGINT) >> 33) AS h FROM m2), "
+            "small AS (SELECT doc_id, min(h) AS h FROM hh WHERE m <= 16 "
+            "GROUP BY doc_id), "
+            "ex AS (SELECT doc_id, i, h, w FROM hh, "
+            "UNNEST(range(greatest(1, i - 15), least(i, m - 15) + 1)) AS u(w) "
+            "WHERE m > 16), "
+            "sel AS (SELECT doc_id, h FROM (SELECT doc_id, w, h, row_number() "
+            "OVER (PARTITION BY doc_id, w ORDER BY h ASC, i DESC) AS rn FROM ex) "
+            "WHERE rn = 1), "
+            "fp AS (SELECT DISTINCT doc_id, h FROM "
+            "(SELECT * FROM sel UNION ALL SELECT * FROM small)), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints, "
+            "min(h) AS fp_min FROM fp GROUP BY doc_id) "
+            "SELECT d2.doc_id, COALESCE(n_fingerprints, 0) AS n_fingerprints, "
+            "CAST(COALESCE(fp_min, 0) AS UBIGINT) AS fp_min "
+            "FROM documents d2 LEFT JOIN agg USING (doc_id)"
+        ),
+        "neardup_docs_hamming_audit": (
+            # md5-simhash (same majority rule as functions/simhash.py, md5
+            # token hash so both engines compute identical codes) + exact
+            # popcount-xor pair scan — the simhash-family brute-force audit
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "shm AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+            "FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), "
+            "h AS (SELECT doc_id, md5_number_upper(s) AS hv FROM shm), "
+            "bits AS (SELECT doc_id, b, count(*) AS n, "
+            "sum(CAST((hv >> b) & 1 AS BIGINT)) AS ones "
+            "FROM h, UNNEST(range(64)) AS u(b) GROUP BY doc_id, b), "
+            "sig AS (SELECT doc_id, CAST(sum(CASE WHEN 2 * ones > n "
+            "THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE 0 END) "
+            "AS UBIGINT) AS code FROM bits GROUP BY doc_id), "
+            "codes AS (SELECT d.doc_id, COALESCE(s.code, 0) AS code "
+            "FROM documents d LEFT JOIN sig s USING (doc_id)) "
+            "SELECT a.doc_id AS src, b.doc_id AS dst, "
+            "CAST(bit_count(xor(a.code, b.code)) AS BIGINT) AS hamming "
+            "FROM codes a JOIN codes b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.code, b.code)) <= 8"
         ),
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "docs_per_source_lang": (

@@ -108,6 +108,16 @@ def cmd_dedup(args) -> int:
         _expand(args.input, recursive=not args.no_recursive), args.output, cfg,
         extract=not args.no_extract, quarantine=args.quarantine_failed,
     )
+
+    def _fresh_dir(path: str) -> str:
+        # derived sinks (survivors/groups) are rewritten from the checkpointed
+        # assignment on every invocation; Ray's write_parquet APPENDS uniquely
+        # named files, so a resumed run must clear the sink first or its rows
+        # double (r4 verify finding)
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return path
     if args.delete_all:
         # the reference's -delete-all: drop EVERY member of every duplicate
         # cluster, canonical included; survivors are singletons only
@@ -132,7 +142,7 @@ def cmd_dedup(args) -> int:
             return b.filter(_pa.array(mask))
 
         ds.map_batches(_singletons, batch_format="pyarrow").write_parquet(
-            f"{args.output}/survivors"
+            _fresh_dir(f"{args.output}/survivors")
         )
         metrics["survivors"] = {
             "path": f"{args.output}/survivors",
@@ -148,7 +158,7 @@ def cmd_dedup(args) -> int:
         ds.map_batches(
             lambda b: b.filter(pc.equal(b.column("is_canonical"), True)),
             batch_format="pyarrow",
-        ).write_parquet(f"{args.output}/survivors")
+        ).write_parquet(_fresh_dir(f"{args.output}/survivors"))
         metrics["survivors"] = {"path": f"{args.output}/survivors"}
     if args.partition_by_cluster:
         # the -move analog (/root/reference/utils/file.go:63-71, caller
@@ -177,7 +187,9 @@ def cmd_dedup(args) -> int:
             return b.filter(_pa.array(mask))
 
         members = ds.map_batches(_members, batch_format="pyarrow")
-        members.write_parquet(f"{args.output}/groups", partition_cols=["cluster_id"])
+        members.write_parquet(
+            _fresh_dir(f"{args.output}/groups"), partition_cols=["cluster_id"]
+        )
         metrics["groups_dir"] = {"path": f"{args.output}/groups", "clusters": int(len(dup_cids))}
     if args.write_groups_csv:
         # the reference's CSV sink: one row per duplicate group

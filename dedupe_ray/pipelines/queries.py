@@ -2139,6 +2139,108 @@ def incremental_match_audit(sf_dir: str, split: int = 100, threshold: float = 0.
     return edges.map_batches(_straddle, batch_format="pyarrow", batch_size=None)
 
 
+# byte-popcount lookup for the hamming audit (module-level: built once)
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def neardup_docs_hamming_audit(sf_dir: str, max_hamming: int = 8):
+    """Brute-force Hamming audit of the SimHash family (VERDICT r3 #6):
+    an md5-based simhash — the SAME majority-vote bit rule as
+    ``functions/simhash.py`` (``2·ones_b > n_shingles``) over word-3-shingles
+    WITH multiplicity, with the token-hash primitive swapped from blake2b to
+    md5 (first 8 digest bytes, little-endian) so DuckDB can recompute the
+    codes — then ALL doc pairs with popcount(xor) ≤ ``max_hamming``.
+
+    Like ``neardup_docs_jaccard_audit`` this is a brute-force-by-design
+    audit-scale instrument (SCALE.md), not the production path: codes are
+    computed distributedly (8 bytes/doc), the code vector is broadcast once
+    via ``ray.put``, and each batch scans it with vectorized uint8 xor +
+    popcount-LUT (no per-pair Python loop). Docs with <3 tokens get code 0
+    on both engines."""
+    import hashlib
+
+    import re as _re
+
+    pat = _re.compile(_ASCII_TOKEN_RE_SRC)
+    from dedupe_ray.functions.simhash import simhash_from_flat
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _codes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        parts: list[np.ndarray] = []
+        offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+        short = []  # rows with zero shingles — excluded from the flat pass
+        total = 0
+        for r, text in enumerate(batch.column("text").to_pylist()):
+            toks = pat.findall((text or "").lower())
+            if len(toks) < 3:
+                short.append(r)
+                offsets[r + 1] = total
+                continue
+            n = len(toks) - 2
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5((" ".join(toks[i : i + 3])).encode()).digest()[:8],
+                        "little",
+                    )
+                    for i in range(n)
+                ),
+                dtype=np.uint64,
+                count=n,
+            )
+            parts.append(hs)
+            total += n
+            offsets[r + 1] = total
+        if short:
+            # zero-length reduceat segments are unsound (np.add.reduceat
+            # returns buf[idx] for empty segments) — compute over the dense
+            # rows only and leave shingle-less docs at code 0
+            keep = np.setdiff1d(np.arange(len(ids)), np.asarray(short))
+            dense_off = np.zeros(len(keep) + 1, dtype=np.int64)
+            dense_off[1:] = np.cumsum([len(p) for p in parts])
+            codes = np.zeros(len(ids), dtype=np.uint64)
+            if parts:
+                codes[keep] = simhash_from_flat(np.concatenate(parts), dense_off)
+        else:
+            codes = (
+                simhash_from_flat(np.concatenate(parts), offsets)
+                if parts
+                else np.zeros(len(ids), dtype=np.uint64)
+            )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "code": pa.array(codes, pa.uint64())}
+        )
+
+    code_ds = docs.map_batches(_codes, batch_format="pyarrow", batch_size=1024).materialize()
+    tbl = pa.concat_tables(
+        list(code_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    gids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    gcodes = tbl.column("code").to_numpy(zero_copy_only=False)
+    ref = ray.put((gids, gcodes))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        cids, ccodes = ray.get(ref)
+        aid = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ac = batch.column("code").to_numpy(zero_copy_only=False)
+        a8 = ac.view(np.uint8).reshape(-1, 8)
+        g8 = ccodes.view(np.uint8).reshape(-1, 8)
+        # (b, n, 8) uint8 xor + byte-popcount LUT, summed over the byte axis
+        ham = _POP8[a8[:, None, :] ^ g8[None, :, :]].sum(axis=2)
+        bi, gj = np.nonzero((ham <= max_hamming) & (aid[:, None] < cids[None, :]))
+        return pa.table(
+            {
+                "src": pa.array(aid[bi], pa.int64()),
+                "dst": pa.array(cids[gj], pa.int64()),
+                "hamming": pa.array(ham[bi, gj].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return code_ds.map_batches(_pairs, batch_format="pyarrow", batch_size=1024)
+
+
 def top_tokens(sf_dir: str, k: int = 20):
     """Top-k most frequent word tokens across the corpus, fully distributed
     (VERDICT r1 #2): per-batch exact partials → distributed

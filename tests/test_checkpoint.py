@@ -75,6 +75,22 @@ def test_cli_dedup_and_compare(ray_session, pages_parquet, tmp_path, capsys):
     assert any(target_url in l for l in lines)
 
 
+def test_cli_rerun_survivors_idempotent(ray_session, pages_parquet, tmp_path):
+    """Regression (r4 verify): a resumed dedup run must REWRITE the derived
+    survivors sink, not append a second copy of every row (Ray's
+    write_parquet appends uniquely named files into an existing dir)."""
+    from dedupe_ray.cli import main
+
+    out = str(tmp_path / "rerun_out")
+    args = ["dedup", "--input", pages_parquet, "--output", out,
+            "--keep-canonical-only"]
+    assert main(args) == 0
+    n1 = pq.read_table(f"{out}/survivors").num_rows
+    assert main(args) == 0  # fully resumed run
+    n2 = pq.read_table(f"{out}/survivors").num_rows
+    assert n1 == n2
+
+
 def test_cli_delete_all_keeps_singletons_only(ray_session, pages_parquet, tmp_path):
     from dedupe_ray.cli import main
 

@@ -96,6 +96,21 @@ def test_sql_oracled_queries(entrymod, con):
     assert not failures, "\n".join(failures)
 
 
+def test_oracled_queries_precede_unoracled(entrymod):
+    """Driver-window invariant (VERDICT r3 #1): the driver's correctness
+    snapshot covers only the FIRST 50 ``queries()`` entries, so every query
+    with an ``oracle_sql()`` entry must precede every query without one —
+    and the oracled set must fit inside the window."""
+    names = list(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    first_unoracled = next(i for i, n in enumerate(names) if n not in oracled)
+    assert all(n not in oracled for n in names[first_unoracled:]), (
+        "oracled query listed after a no-oracle query"
+    )
+    assert first_unoracled == len(oracled)
+    assert len(oracled) <= 50, "oracled queries overflow the driver window"
+
+
 def test_rows_only_queries_run(entrymod):
     qs = entrymod.queries()
     oracles = set(entrymod.oracle_sql())
