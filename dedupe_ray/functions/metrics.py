@@ -80,6 +80,97 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     return jaro + prefix * prefix_weight * (1.0 - jaro)
 
 
-def jaro_winkler_pairs(left: list[str], right: list[str]) -> np.ndarray:
-    """Jaro-Winkler per aligned pair (batched API; per-pair loop inside)."""
-    return np.array([jaro_winkler(a, b) for a, b in zip(left, right)], dtype=np.float64)
+def _jw_batch_chunk(left: list[str], right: list[str]) -> np.ndarray:
+    """Vectorized-ACROSS-PAIRS Jaro-Winkler for one chunk (VERDICT r3 #2).
+
+    Pads both sides to uint32 codepoint matrices and walks s1 positions once
+    for the WHOLE chunk: per step, every pair's greedy first-unused-in-window
+    match is found with one (n, L2) mask + argmax — no per-pair Python loop.
+    Produces bit-identical values to the scalar ``jaro_winkler`` (same greedy
+    order, same transposition count, same IEEE op sequence); the equivalence
+    is property-tested against the scalar kernel.
+    """
+    P = len(left)
+    out = np.zeros(P, dtype=np.float64)
+    eq = np.fromiter((a == b for a, b in zip(left, right)), dtype=bool, count=P)
+    out[eq] = 1.0
+    todo = np.flatnonzero(~eq)
+    if len(todo) == 0:
+        return out
+    len1 = np.array([len(left[int(i)]) for i in todo], dtype=np.int64)
+    len2 = np.array([len(right[int(i)]) for i in todo], dtype=np.int64)
+    nz = (len1 > 0) & (len2 > 0)
+    todo, len1, len2 = todo[nz], len1[nz], len2[nz]
+    n = len(todo)
+    if n == 0:
+        return out
+    L1, L2 = int(len1.max()), int(len2.max())
+    A1 = np.zeros((n, L1), dtype=np.uint32)
+    A2 = np.zeros((n, L2), dtype=np.uint32)
+    for r, i in enumerate(todo):
+        s1, s2 = left[int(i)], right[int(i)]
+        A1[r, : len(s1)] = np.frombuffer(s1.encode("utf-32-le"), dtype=np.uint32)
+        A2[r, : len(s2)] = np.frombuffer(s2.encode("utf-32-le"), dtype=np.uint32)
+    w = np.maximum(np.maximum(len1, len2) // 2 - 1, 0)
+    used = np.zeros((n, L2), dtype=bool)
+    match1 = np.zeros((n, L1), dtype=bool)
+    jcols = np.arange(L2)
+    for i in range(L1):
+        lo = i - w
+        hi = np.minimum(len2, i + w + 1)
+        cand = (
+            (~used)
+            & (A2 == A1[:, i : i + 1])
+            & (jcols >= lo[:, None])
+            & (jcols < hi[:, None])
+            & (i < len1)[:, None]
+        )
+        has = cand.any(axis=1)
+        if not has.any():
+            continue
+        j = cand.argmax(axis=1)
+        rows = np.flatnonzero(has)
+        used[rows, j[rows]] = True
+        match1[rows, i] = True
+    m = match1.sum(axis=1).astype(np.int64)
+    nzm = m > 0
+    # transpositions: s1's matched chars in i order vs s2's matched chars in
+    # j order — both flatten row-major, so one elementwise compare + reduceat
+    c1 = A1[match1]
+    c2 = A2[used]
+    t = np.zeros(n, dtype=np.int64)
+    if c1.size:
+        bounds = np.concatenate([[0], np.cumsum(m)[:-1]])
+        t[nzm] = np.add.reduceat((c1 != c2).astype(np.int64), bounds[nzm]) // 2
+    jw = np.zeros(n, dtype=np.float64)
+    if nzm.any():
+        mf = m[nzm].astype(np.float64)
+        jaro = (mf / len1[nzm] + mf / len2[nzm] + (mf - t[nzm]) / mf) / 3.0
+        # common prefix (≤4): leading equal chars within both lengths
+        p4 = min(4, L1, L2)
+        k4 = np.arange(p4)
+        eq4 = (
+            (A1[nzm][:, :p4] == A2[nzm][:, :p4])
+            & (k4 < len1[nzm, None])
+            & (k4 < len2[nzm, None])
+        )
+        prefix = np.cumprod(eq4, axis=1).sum(axis=1) if p4 else np.zeros(len(mf))
+        jw[nzm] = jaro + prefix * 0.1 * (1.0 - jaro)
+    out[todo] = jw
+    return out
+
+
+def jaro_winkler_pairs(
+    left: list[str], right: list[str], chunk: int = 2048
+) -> np.ndarray:
+    """Jaro-Winkler per aligned pair — vectorized across pairs in chunks
+    (bounds the (chunk, L1, L2) mask memory; 2048 pairs × 512² chars ≈ 1 MB
+    of bools per step)."""
+    P = len(left)
+    if P <= chunk:
+        return _jw_batch_chunk(list(left), list(right))
+    parts = [
+        _jw_batch_chunk(list(left[i : i + chunk]), list(right[i : i + chunk]))
+        for i in range(0, P, chunk)
+    ]
+    return np.concatenate(parts)

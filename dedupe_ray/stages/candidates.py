@@ -26,63 +26,72 @@ import pyarrow as pa
 import ray
 
 from dedupe_ray.config import MinHashConfig, NearDupConfig, SimHashConfig
-from dedupe_ray.functions.metrics import hamming64, jaro_winkler
+from dedupe_ray.functions.metrics import hamming64, jaro_winkler_pairs
 from dedupe_ray.stages.groupapply import sorted_group_apply
 
 logger = logging.getLogger(__name__)
 
 __all__ = ["candidate_edges", "dedupe_edges", "verify_edges", "verify_edges_join"]
 
-_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-
-
-def _triu(m: int) -> tuple[np.ndarray, np.ndarray]:
-    got = _TRIU_CACHE.get(m)
-    if got is None:
-        got = np.triu_indices(m, k=1)
-        _TRIU_CACHE[m] = got
-    return got
+_EMPTY_PAIRS = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
 
 
 def _emit_pairs_block(block: pa.Table, max_bucket_size: int) -> pa.Table:
-    """Vectorized multi-group pair emission over one sorted block."""
+    """FULLY vectorized multi-group pair emission over one sorted block
+    (VERDICT r3 #3): one (band_key, doc_id) lexsort dedupes members per
+    bucket, then every row — as the pair's dst — contributes one pair with
+    each earlier member of its SALT CHUNK via repeat/arange offset
+    arithmetic. No per-bucket Python loop; on a dup-heavy corpus (millions
+    of multi-member buckets per block) the old loop was the stage cost.
+
+    Salting semantics unchanged: a bucket above ``max_bucket_size`` splits
+    into consecutive cap-sized chunks of its SORTED member list and pairs
+    stay within a chunk (true dups still meet in their other B−1 bands)."""
     keys = block.column("band_key").to_numpy(zero_copy_only=False)
     ids = block.column("doc_id").to_numpy(zero_copy_only=False)
-    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
-    srcs: list[np.ndarray] = []
-    dsts: list[np.ndarray] = []
-    multi = counts >= 2
-    for s, c in zip(starts[multi], counts[multi]):
-        members = np.unique(ids[s : s + c])
-        m = len(members)
-        if m < 2:
-            continue
-        if m > max_bucket_size:
-            logger.warning(
-                "salting hot LSH bucket: size=%d > cap=%d (%d cross-salt pairs dropped)",
-                m, max_bucket_size,
-                (m * (m - 1) - (m // max_bucket_size) * max_bucket_size * (max_bucket_size - 1)) // 2,
-            )
-            for off in range(0, m, max_bucket_size):
-                chunk = members[off : off + max_bucket_size]
-                if len(chunk) >= 2:
-                    iu, ju = _triu(len(chunk))
-                    srcs.append(chunk[iu])
-                    dsts.append(chunk[ju])
-        else:
-            iu, ju = _triu(m)
-            srcs.append(members[iu])
-            dsts.append(members[ju])
-    if not srcs:
-        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-    src = np.concatenate(srcs)
-    dst = np.concatenate(dsts)
+    if len(ids) == 0:
+        return _EMPTY_PAIRS
+    order = np.lexsort((ids, keys))
+    k_s, i_s = keys[order], ids[order]
+    # first occurrence of each (band_key, doc_id): unique members per bucket
+    first = np.r_[True, (k_s[1:] != k_s[:-1]) | (i_s[1:] != i_s[:-1])]
+    k_s, i_s = k_s[first], i_s[first]
+    n = len(i_s)
+    run_start_flag = np.r_[True, k_s[1:] != k_s[:-1]]
+    run_id = np.cumsum(run_start_flag) - 1
+    run_starts = np.flatnonzero(run_start_flag)
+    lj = np.arange(n) - run_starts[run_id]  # member index within its bucket
+    # skew telemetry: buckets above the cap, logged once per block
+    sizes = np.diff(np.r_[run_starts, n])
+    hot = sizes[sizes > max_bucket_size]
+    if len(hot):
+        dropped = int(
+            (hot * (hot - 1)).sum()
+            - ((hot // max_bucket_size) * max_bucket_size * (max_bucket_size - 1)).sum()
+            - ((hot % max_bucket_size) * np.maximum(hot % max_bucket_size - 1, 0)).sum()
+        ) // 2
+        logger.warning(
+            "salting %d hot LSH buckets: max size=%d > cap=%d "
+            "(~%d cross-salt pairs dropped)",
+            len(hot), int(hot.max()), max_bucket_size, dropped,
+        )
+    # within-chunk dst contribution count = index within the salt chunk
+    q = lj % max_bucket_size
+    total = int(q.sum())
+    if total == 0:
+        return _EMPTY_PAIRS
+    dst_idx = np.repeat(np.arange(n), q)
+    chunk_starts = np.cumsum(q) - q
+    ramp = np.arange(total) - np.repeat(chunk_starts, q)
+    src_idx = np.repeat(np.arange(n) - q, q) + ramp
+    src = i_s[src_idx]
+    dst = i_s[dst_idx]
     # within-block dedupe (the same pair often fires in several bands that
-    # landed in this block) — cheap pre-shrink before the global dedupe
-    pairs = np.stack([src, dst], axis=1)
-    pairs = np.unique(pairs, axis=0)
+    # landed in this block) — cheap pre-shrink before the global dedupe.
+    # lexsort + adjacent-diff mask ≈ 3× faster than np.unique(axis=0)
+    src, dst = _distinct_pairs(src, dst)
     return pa.table(
-        {"src": pa.array(pairs[:, 0], pa.int64()), "dst": pa.array(pairs[:, 1], pa.int64())}
+        {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
     )
 
 
@@ -95,14 +104,23 @@ def candidate_edges(banded: "ray.data.Dataset", max_bucket_size: int = 256) -> "
     )
 
 
+def _distinct_pairs(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-distinct (src, dst) pairs via one lexsort + adjacency mask."""
+    o = np.lexsort((dst, src))
+    s, d = src[o], dst[o]
+    keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+    return s[keep], d[keep]
+
+
 def _dedupe_block(block: pa.Table) -> pa.Table:
     if block.num_rows == 0:
         return block
-    src = block.column("src").to_numpy(zero_copy_only=False)
-    dst = block.column("dst").to_numpy(zero_copy_only=False)
-    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    src, dst = _distinct_pairs(
+        block.column("src").to_numpy(zero_copy_only=False),
+        block.column("dst").to_numpy(zero_copy_only=False),
+    )
     return pa.table(
-        {"src": pa.array(pairs[:, 0], pa.int64()), "dst": pa.array(pairs[:, 1], pa.int64())}
+        {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
     )
 
 
@@ -120,13 +138,22 @@ def dedupe_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 def _collect_edge_ids(edges: "ray.data.Dataset") -> np.ndarray:
     """Unique doc ids touched by any edge (streamed to the driver; bounded by
     2 × |edges|, which is tiny relative to the corpus)."""
+    ids, _ = _collect_edge_ids_count(edges)
+    return ids
+
+
+def _collect_edge_ids_count(edges: "ray.data.Dataset") -> tuple[np.ndarray, int]:
+    """(unique edge-involved doc ids, total edge count) in ONE streaming pass
+    — the count sizes the verify split without re-executing the dataset."""
     parts = []
+    n_edges = 0
     for b in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        n_edges += b.num_rows
         parts.append(b.column("src").to_numpy(zero_copy_only=False))
         parts.append(b.column("dst").to_numpy(zero_copy_only=False))
     if not parts:
-        return np.zeros(0, dtype=np.int64)
-    return np.unique(np.concatenate(parts))
+        return np.zeros(0, dtype=np.int64), 0
+    return np.unique(np.concatenate(parts)), n_edges
 
 
 class _BroadcastVerifier:
@@ -165,13 +192,14 @@ class _BroadcastVerifier:
             keep = eq >= cfg.threshold
             score = eq.astype(np.float64)
         if self.config.jaro_winkler_min is not None and self.texts is not None:
+            # batched kernel (VERDICT r3 #2): one vectorized pass over the
+            # kept pairs instead of a per-pair per-char Python loop
             jw_min = self.config.jaro_winkler_min
             kidx = np.flatnonzero(keep)
-            for k in kidx:
-                t1 = self.texts[ia[k]][:512]
-                t2 = self.texts[ib[k]][:512]
-                if jaro_winkler(t1, t2) < jw_min:
-                    keep[k] = False
+            if len(kidx):
+                t1 = [self.texts[ia[k]][:512] for k in kidx]
+                t2 = [self.texts[ib[k]][:512] for k in kidx]
+                keep[kidx[jaro_winkler_pairs(t1, t2) < jw_min]] = False
         return pa.table(
             {
                 "src": pa.array(src[keep], pa.int64()),
@@ -196,7 +224,7 @@ def verify_edges(
     ``Dataset.join`` on src/dst (B-bucketed); the broadcast path is correct
     whenever the slice fits, which holds through ~10^8 candidate edges.
     """
-    ids = _collect_edge_ids(edges)
+    ids, n_edges = _collect_edge_ids_count(edges)
     if len(ids) == 0:
         return edges.map_batches(
             lambda b: pa.table({"src": pa.array([], pa.int64()),
@@ -241,6 +269,25 @@ def verify_edges(
     def _verify(batch: pa.Table) -> pa.Table:
         return _BroadcastVerifier(sig_ref, config)(batch)
 
+    if need_text:
+        # JW confirm costs ~0.6 ms/pair of CPU (vs ~µs for the signature-only
+        # metric): split the (small, usually single-block) edge list so the
+        # confirm parallelizes across the pool instead of serializing in one
+        # task. Block count sized by the edge count from the id-collection
+        # pass — ~1k pairs (~0.6 s JW) per block, capped at the pool, so the
+        # ~50 ms/task dispatch floor never dominates
+        from dedupe_ray.runtime import cluster_cpus
+
+        # ~256 pairs (~0.15 s JW worst-case) per block: fine enough to fill
+        # the pool on small edge lists, coarse enough that the ~50 ms/task
+        # dispatch floor stays <25% of task compute
+        nb = max(1, min(2 * min(cluster_cpus(), 32), n_edges // 256))
+        if nb > 1:
+            edges = edges.repartition(nb)
+        # batch_size=None → one batch per repartitioned block; a batch_size
+        # LARGER than the block size would coalesce the split right back
+        # into one task
+        return edges.map_batches(_verify, batch_format="pyarrow", batch_size=None)
     return edges.map_batches(_verify, batch_format="pyarrow", batch_size=1 << 16)
 
 
@@ -264,8 +311,9 @@ def verify_edges_join(
     if is_simhash:
         slim = signatures.select_columns(["doc_id", sig_col])
     else:
-        # Acero's hash join rejects fixed_size_list payloads — pack the
-        # minhash signature into a binary column for the ride
+        # Acero's hash join rejects fixed_size_list payloads — repack the
+        # minhash signature as fixed_size_binary for the ride: ONE buffer
+        # view for the whole batch (VERDICT r3 #4), no per-row tobytes()
         num_perms_pack = config.minhash.num_perms
 
         def _pack(batch: pa.Table) -> pa.Table:
@@ -273,12 +321,11 @@ def verify_edges_join(
             flat = batch.column("minhash").combine_chunks().flatten().to_numpy(
                 zero_copy_only=False
             ).astype(np.uint32)
-            mat = flat.reshape(n, num_perms_pack)
-            blobs = [mat[i].tobytes() for i in range(n)]
-            return pa.table(
-                {"doc_id": batch.column("doc_id"),
-                 "minhash": pa.array(blobs, pa.binary())}
+            fsb = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(4 * num_perms_pack), n,
+                [None, pa.py_buffer(np.ascontiguousarray(flat).tobytes())],
             )
+            return pa.table({"doc_id": batch.column("doc_id"), "minhash": fsb})
 
         slim = signatures.map_batches(_pack, batch_format="pyarrow", batch_size=None)
 
@@ -320,18 +367,22 @@ def verify_edges_join(
         threshold = cfg.threshold
         num_perms = config.minhash.num_perms
 
+        def _unpack(col: pa.ChunkedArray, n: int) -> np.ndarray:
+            # fixed_size_binary data buffer → zero-copy uint32 matrix view
+            arr = col.combine_chunks()
+            words = arr.type.byte_width // 4
+            data = np.frombuffer(arr.buffers()[1], dtype=np.uint32)
+            start = arr.offset * words
+            return data[start : start + n * words].reshape(n, num_perms)
+
         def _score(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             if n == 0:
                 return pa.table({"src": pa.array([], pa.int64()),
                                  "dst": pa.array([], pa.int64()),
                                  "score": pa.array([], pa.float64())})
-            a = np.frombuffer(
-                b"".join(batch.column("sig_src").to_pylist()), dtype=np.uint32
-            ).reshape(n, num_perms)
-            b = np.frombuffer(
-                b"".join(batch.column("sig_dst").to_pylist()), dtype=np.uint32
-            ).reshape(n, num_perms)
+            a = _unpack(batch.column("sig_src"), n)
+            b = _unpack(batch.column("sig_dst"), n)
             eq = (a == b).mean(axis=1)
             keep = eq >= threshold
             out = batch.select(["src", "dst"]).filter(pa.array(keep))

@@ -146,6 +146,35 @@ class TestJaroWinkler:
     def test_symmetry(self):
         assert jaro_winkler("kitten", "sitting") == jaro_winkler("sitting", "kitten")
 
+    def test_batch_bit_identical_to_scalar(self):
+        """The vectorized-across-pairs kernel (VERDICT r3 #2) must reproduce
+        the scalar kernel EXACTLY — greedy match order, transposition count,
+        prefix bonus, and IEEE op sequence — on randomized pairs including
+        empties, unicode, prefix-share and the 512-char cap shape."""
+        import random
+
+        from dedupe_ray.functions.metrics import jaro_winkler_pairs
+
+        random.seed(11)
+        alpha = "abcdef "
+        cases = []
+        for _ in range(800):
+            n1, n2 = random.randint(0, 40), random.randint(0, 40)
+            s1 = "".join(random.choice(alpha) for _ in range(n1))
+            s2 = "".join(random.choice(alpha) for _ in range(n2))
+            if random.random() < 0.3:
+                s2 = s1[: random.randint(0, n1)] + s2[:5]
+            cases.append((s1, s2))
+        cases += [
+            ("", ""), ("", "a"), ("a", ""), ("abc", "abc"),
+            ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("ab", "ba"),
+            ("x" * 512, "x" * 511 + "y"), ("日本語テスト", "日本語てすと"),
+        ]
+        got = jaro_winkler_pairs([a for a, _ in cases], [b for _, b in cases],
+                                 chunk=97)
+        exp = np.array([jaro_winkler(a, b) for a, b in cases])
+        assert np.array_equal(got, exp)
+
 
 # ---- extraction -----------------------------------------------------------
 

@@ -661,6 +661,41 @@ class TestVerifyJoinSimhash:
         b = pairset(verify_edges_join(distinct, sigs, cfg, num_partitions=4))
         assert a == b and len(a) > 0
 
+    def test_emit_pairs_block_matches_naive_salted(self, ray_session):
+        """The fully-vectorized pair emission (VERDICT r3 #3) must produce
+        exactly the per-bucket naive emission — sorted unique members per
+        bucket, consecutive cap-sized salt chunks, within-chunk pairs —
+        on randomized blocks with duplicate members and hot buckets."""
+        import logging
+
+        import numpy as np
+
+        from dedupe_ray.stages.candidates import _emit_pairs_block
+
+        logging.disable(logging.WARNING)
+        try:
+            rng = np.random.default_rng(7)
+            for trial in range(12):
+                n = int(rng.integers(1, 1500))
+                keys = rng.integers(0, int(rng.integers(1, 30)), n).astype(np.int64)
+                ids = rng.integers(0, 40, n).astype(np.int64)
+                cap = int(rng.integers(2, 10))
+                blk = pa.table({"band_key": pa.array(keys), "doc_id": pa.array(ids)})
+                got = _emit_pairs_block(blk, cap)
+                gp = set(zip(got.column("src").to_pylist(),
+                             got.column("dst").to_pylist()))
+                exp = set()
+                for k in np.unique(keys):
+                    members = np.unique(ids[keys == k])
+                    for off in range(0, len(members), cap):
+                        chunk = members[off : off + cap]
+                        for x in range(len(chunk)):
+                            for y in range(x + 1, len(chunk)):
+                                exp.add((int(chunk[x]), int(chunk[y])))
+                assert gp == exp and got.num_rows == len(gp), trial
+        finally:
+            logging.disable(logging.NOTSET)
+
 
 class TestCliStats:
     def test_stats_to_parquet(self, ray_session, tmp_path, capsys):
