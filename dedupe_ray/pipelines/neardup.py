@@ -120,18 +120,24 @@ def band_bundle_size(n_rows: int) -> int:
 def match_edges(
     signatures: "ray.data.Dataset",
     config: NearDupConfig | None = None,
+    band_batch_size: int | None = None,
 ) -> "ray.data.Dataset":
-    """signatures → verified match edges (src, dst, score). Materialized."""
+    """signatures → verified match edges (src, dst, score). Materialized.
+
+    Without ``band_batch_size`` the signatures are materialized once (the
+    bundle-size probe needs a row count, and verify_edges re-reads them for
+    its slim pass anyway — on a lazy pipeline both would otherwise re-run
+    the expensive extract+sign stage). A caller streaming a corpus-scale
+    lazy pipeline that must NOT be pinned in the object store (ADVICE r3)
+    passes ``band_batch_size`` explicitly (e.g. ``band_bundle_size(n)`` from
+    parquet row-count metadata) and accepts the double execution instead."""
     config = config or NearDupConfig()
-    # materialize before counting: on a lazy signatures pipeline the
-    # bundle-size count() would otherwise execute the expensive
-    # extract+sign stage once for the probe and again for banding
-    # (no-op when the caller already materialized; verify_edges re-reads
-    # the signatures below anyway)
-    signatures = signatures.materialize()
+    if band_batch_size is None:
+        signatures = signatures.materialize()
+        band_batch_size = band_bundle_size(signatures.count())
     banded = signatures.map_batches(
         band_emitter(config.signature()), batch_format="pyarrow",
-        batch_size=band_bundle_size(signatures.count()),
+        batch_size=band_batch_size,
     )
     cands = candidate_edges(banded, config.max_bucket_size)
     # materialize the (small) distinct edge list: verify_edges consumes it

@@ -1052,7 +1052,7 @@ def cluster_groups(sf_dir: str):
     ``np.unique``, and removes two extra dataset executions."""
     out = neardup_pages_minhash(sf_dir)
     members = out.map_batches(
-        lambda b: b.select(["cluster_id", "url"]),
+        lambda b: b.select(["cluster_id", "doc_id", "url"]),
         batch_format="pyarrow", batch_size=None,
     )
 
@@ -1064,9 +1064,10 @@ def cluster_groups(sf_dir: str):
                  "member_urls": pa.array([], pa.list_(pa.string()))}
             )
         cids = block.column("cluster_id").to_numpy(zero_copy_only=False)
+        dids = block.column("doc_id").to_numpy(zero_copy_only=False)
         urls = np.asarray(block.column("url").to_pylist(), dtype=object)
         order = np.lexsort((urls, cids))
-        cids, urls = cids[order], urls[order]
+        cids, dids, urls = cids[order], dids[order], urls[order]
         starts = np.flatnonzero(np.r_[True, cids[1:] != cids[:-1]])
         counts = np.diff(np.r_[starts, len(cids)])
         offsets = pa.array(np.r_[0, np.cumsum(counts)], pa.int32())
@@ -1076,7 +1077,12 @@ def cluster_groups(sf_dir: str):
              "n_members": pa.array(counts.astype(np.int64), pa.int64()),
              "member_urls": lists}
         )
-        return tbl.filter(pa.array(counts > 1))  # dup clusters only
+        # dup clusters only: the cluster must contain a NON-ROOT member
+        # (doc_id != cluster_id), not merely ≥2 rows — a corpus with
+        # duplicate doc_id rows (supported: join-stamp tests) would
+        # otherwise export a twice-seen singleton as a dup group (ADVICE r3)
+        non_root = np.add.reduceat((dids != cids).astype(np.int64), starts)
+        return tbl.filter(pa.array(non_root > 0))
 
     from dedupe_ray.stages.groupapply import sorted_group_apply
 

@@ -30,9 +30,11 @@ __all__ = [
 ]
 
 
-def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+def _batch_matrix(
+    batch: pa.Table, col: str, dtype: "np.dtype" = np.float32
+) -> np.ndarray:
     arr = batch.column(col).combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype)
     n = len(batch)
     return flat.reshape(n, -1)
 
@@ -54,13 +56,19 @@ def brute_force_topk(
 
     Returns (query_id, rank, vec_id, similarity) sorted by (query_id, rank).
     Ties broken by vec_id ascending (deterministic).
+
+    All three exact-capable paths (brute force, SRP radius-64 rescore, IVF
+    full-probe) normalize and dot in FLOAT64 from the raw values (ADVICE r3):
+    a float32 path here vs a float64 rescore there could flip near-tied
+    ranks between supposedly identical paths and against the CAST-AS-DOUBLE
+    DuckDB oracle.
     """
-    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(q)
 
     def _partial(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)  # (Q, D)
-        mat = _normalize(_batch_matrix(batch, vec_col))  # (n, D)
+        mat = _normalize(_batch_matrix(batch, vec_col, np.float64))  # (n, D)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sims = qm @ mat.T  # (Q, n)
         kk = min(k, sims.shape[1])
@@ -72,7 +80,7 @@ def brute_force_topk(
             {
                 "query_id": pa.array(rows_q, pa.int64()),
                 "vec_id": pa.array(ids[cand], pa.int64()),
-                "similarity": pa.array(sims[rows_q, cand].astype(np.float64)),
+                "similarity": pa.array(sims[rows_q, cand], pa.float64()),
             }
         )
 
@@ -143,13 +151,16 @@ def srp_bucket_topk(
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, 64)).astype(np.float32)
-    q = _normalize(np.asarray(queries, dtype=np.float32))
-    q_proj = q @ planes
+    # codes in float32 (matches the corpus-side code path bit-for-bit);
+    # rescoring in float64 from the raw values (matches brute_force_topk)
+    q32 = _normalize(np.asarray(queries, dtype=np.float32))
+    q_proj = q32 @ planes
     q_bits = (q_proj > 0).astype(np.uint64)
-    q_codes = np.zeros(len(q), dtype=np.uint64)
+    q_codes = np.zeros(len(q32), dtype=np.uint64)
     for b in range(64):
         q_codes |= q_bits[:, b] << np.uint64(b)
-    ref = ray.put((planes, q.astype(np.float64), q_codes))
+    q64 = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put((planes, q64, q_codes))
 
     def _partial(batch: pa.Table) -> pa.Table:
         pl, qm, qc = ray.get(ref)
@@ -160,12 +171,15 @@ def srp_bucket_topk(
         codes = np.zeros(len(mat), dtype=np.uint64)
         for b in range(64):
             codes |= bits[:, b] << np.uint64(b)
+        # exact rescoring in float64 FROM RAW VALUES — identical precision to
+        # brute_force_topk so the radius-64 mode provably equals it (ADVICE r3)
+        mat64 = _normalize(_batch_matrix(batch, vec_col, np.float64))
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qc)):
             cand = np.flatnonzero(hamming64(codes, qc[qi]) <= hamming_radius)
             if len(cand) == 0:
                 continue
-            sims = mat[cand].astype(np.float64) @ qm[qi]
+            sims = mat64[cand] @ qm[qi]
             kk = min(k, len(cand))
             top = np.argpartition(-sims, kk - 1)[:kk]
             out_q.append(np.full(kk, qi, dtype=np.int64))
