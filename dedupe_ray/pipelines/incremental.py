@@ -20,6 +20,8 @@ per-new-page verdict (duplicate_of corpus doc or fresh).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 
@@ -29,9 +31,24 @@ import ray.data
 from dedupe_ray.config import NearDupConfig
 from dedupe_ray.pipelines.neardup import signatures_dataset
 from dedupe_ray.stages.banding import band_emitter
-from dedupe_ray.stages.candidates import candidate_edges, verify_edges
+from dedupe_ray.stages.candidates import candidate_edges, dedupe_edges, verify_edges
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["incremental_match", "build_band_index", "incremental_match_indexed"]
+
+# band-index range partitioning: top bits of the (uniformly mixed) uint64
+# band_key → 2^_SHARD_BITS hive partitions. A small/targeted increment
+# (the reference's Compare shape) touches only the shards its own keys land
+# in, so the match reads a strict subset of index files; a corpus-sized
+# increment degrades gracefully to reading every shard.
+_SHARD_BITS = 8
+
+
+def band_shard_of(keys: np.ndarray) -> np.ndarray:
+    """Shard id per band_key: the top ``_SHARD_BITS`` bits (range partition —
+    uniform because the key is a mixed hash)."""
+    return (keys.astype(np.uint64) >> np.uint64(64 - _SHARD_BITS)).astype(np.int64)
 
 
 def incremental_match(
@@ -40,6 +57,7 @@ def incremental_match(
     config: NearDupConfig | None = None,
     extract: bool = True,
     corpus_bands: "ray.data.Dataset | None" = None,
+    corpus_bands_loader=None,
 ) -> dict:
     """Match an increment against a signed corpus.
 
@@ -51,6 +69,11 @@ def incremental_match(
     ``corpus_bands``: optionally the PERSISTED (band_key, doc_id) index from
     :func:`build_band_index` — then the corpus is neither re-extracted nor
     re-signed nor re-banded; only the band filter streams over it.
+
+    ``corpus_bands_loader``: alternatively a callable
+    ``(new_band_keys: np.ndarray) -> Dataset`` invoked AFTER the increment's
+    band keys are known — lets a partitioned index prune whole partitions
+    (VERDICT r3 #7) instead of streaming every index row through the filter.
     """
     config = config or NearDupConfig()
     emit = band_emitter(config.signature())
@@ -65,6 +88,8 @@ def incremental_match(
     new_keys = np.unique(new_banded_tbl.column("band_key").to_numpy(zero_copy_only=False))
     keys_ref = ray.put(new_keys)
 
+    if corpus_bands_loader is not None and corpus_bands is None:
+        corpus_bands = corpus_bands_loader(new_keys)
     if corpus_bands is not None:
 
         def _band_filter(batch: pa.Table) -> pa.Table:
@@ -90,7 +115,13 @@ def incremental_match(
         _band_filter, batch_format="pyarrow", batch_size=None
     )
     banded_all = corpus_hits.union(ray.data.from_arrow(new_banded_tbl))
-    cand = candidate_edges(banded_all, config.max_bucket_size).materialize()
+    # global pair dedupe: candidate_edges only dedupes per block, so the same
+    # pair surviving in several bands could reach verification once per block
+    # — the verified-edge TABLE would then carry duplicate rows whose count
+    # depends on nondeterministic sort-partition boundaries (r4 finding)
+    cand = dedupe_edges(
+        candidate_edges(banded_all, config.max_bucket_size)
+    ).materialize()
 
     # verification needs signatures from BOTH sides
     all_sigs = corpus_signatures.union(new_sigs)
@@ -182,13 +213,53 @@ def build_band_index(
         lambda: signatures_dataset(corpus_pages, config, extract=extract),
     )
     emit = band_emitter(config.signature())
+
+    def _banded_sharded(batch: pa.Table) -> pa.Table:
+        b = emit(batch)
+        keys = b.column("band_key").to_numpy(zero_copy_only=False)
+        return b.append_column("band_shard", pa.array(band_shard_of(keys), pa.int64()))
+
     run.stage(
         "bands",
-        lambda: sigs.map_batches(emit, batch_format="pyarrow", batch_size=None),
+        lambda: sigs.map_batches(_banded_sharded, batch_format="pyarrow", batch_size=None),
         upstream=["signatures"],
+        partition_cols=["band_shard"],
     )
     run.write_run_manifest()
     return run.metrics
+
+
+def pruned_band_paths(
+    index_dir: str, new_keys: np.ndarray
+) -> "tuple[list[str], int, int] | None":
+    """(parquet files in the shards the increment's keys land in, shards
+    hit, total shard count) for a band_shard-partitioned index, or ``None``
+    when the index predates partitioning (flat layout) — caller falls back
+    to the full read."""
+    import os
+
+    bands_dir = f"{index_dir}/bands"
+    try:
+        entries = os.listdir(bands_dir)
+    except FileNotFoundError:
+        return None
+    all_shards = {
+        e for e in entries
+        if e.startswith("band_shard=") and os.path.isdir(os.path.join(bands_dir, e))
+    }
+    if not all_shards:
+        return None
+    want = {f"band_shard={int(s)}" for s in np.unique(band_shard_of(new_keys))}
+    hit = sorted(all_shards & want)
+    # expand to files: ray.data.read_parquet treats a LIST of paths as files
+    import glob
+
+    files = [
+        f
+        for e in hit
+        for f in sorted(glob.glob(os.path.join(bands_dir, e, "*.parquet")))
+    ]
+    return files, len(hit), len(all_shards)
 
 
 def incremental_match_indexed(
@@ -220,9 +291,25 @@ def incremental_match_indexed(
         corpus_sigs = corpus_sigs.map_batches(
             _restore, batch_format="pyarrow", batch_size=None
         )
-    corpus_bands = ray.data.read_parquet(
-        f"{index_dir}/bands", columns=["band_key", "doc_id"]
-    )
+    def _load_bands(new_keys: np.ndarray) -> "ray.data.Dataset":
+        pruned = pruned_band_paths(index_dir, new_keys)
+        if pruned is None:  # pre-partitioning (flat) index layout
+            return ray.data.read_parquet(
+                f"{index_dir}/bands", columns=["band_key", "doc_id"]
+            )
+        paths, n_hit, total = pruned
+        logger.info(
+            "incremental match: pruned band index to %d/%d shards (%d files)",
+            n_hit, total, len(paths),
+        )
+        if not paths:
+            return ray.data.from_arrow(
+                pa.table({"band_key": pa.array([], pa.uint64()),
+                          "doc_id": pa.array([], pa.int64())})
+            )
+        return ray.data.read_parquet(paths, columns=["band_key", "doc_id"])
+
     return incremental_match(
-        new_pages, corpus_sigs, config, extract=extract, corpus_bands=corpus_bands
+        new_pages, corpus_sigs, config, extract=extract,
+        corpus_bands_loader=_load_bands,
     )

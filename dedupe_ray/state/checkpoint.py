@@ -73,10 +73,13 @@ class CheckpointedRun:
         fn,
         upstream: list[str] | None = None,
         extra_metrics: dict | None = None,
+        partition_cols: list[str] | None = None,
     ) -> "ray.data.Dataset":
         """Run (or resume) one stage. ``fn() -> Dataset``; the result is
         written to partitioned parquet and re-read, so downstream stages
-        consume the checkpoint, not the live lineage."""
+        consume the checkpoint, not the live lineage. ``partition_cols``
+        hive-partitions the stage output (one directory per value) so later
+        consumers can PRUNE whole partitions by path."""
         upstream = upstream or []
         final = self._stage_dir(name)
         if self.completed(name, upstream):
@@ -87,13 +90,16 @@ class CheckpointedRun:
         shutil.rmtree(tmp, ignore_errors=True)
         t0 = time.monotonic()
         ds = fn()
-        ds.write_parquet(tmp)
+        if partition_cols:
+            ds.write_parquet(tmp, partition_cols=partition_cols)
+        else:
+            ds.write_parquet(tmp)
         # a zero-row dataset writes NO files — commit an explicit empty
         # parquet so the checkpoint stays readable (schema preserved)
         os.makedirs(tmp, exist_ok=True)
         import glob as _glob
 
-        if not _glob.glob(os.path.join(tmp, "*.parquet")):
+        if not _glob.glob(os.path.join(tmp, "**", "*.parquet"), recursive=True):
             import pyarrow as pa
             import pyarrow.parquet as pq
 
