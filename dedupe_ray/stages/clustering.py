@@ -41,52 +41,50 @@ __all__ = ["connected_components", "union_find_local", "connected_components_dis
 # ---------------------------------------------------------------------------
 
 
-class _DSU:
-    __slots__ = ("parent",)
-
-    def __init__(self):
-        self.parent: dict[int, int] = {}
-
-    def find(self, x: int) -> int:
-        p = self.parent
-        root = p.get(x, x)
-        while root != p.get(root, root):
-            p[root] = p.get(p[root], p[root])
-            root = p[root]
-        while x != root:
-            nxt = p.get(x, x)
-            p[x] = root
-            x = nxt
-        return root
-
-    def union(self, a: int, b: int) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra == rb:
-            return
-        # union by min so the representative is already the min id
-        if rb < ra:
-            ra, rb = rb, ra
-        self.parent[rb] = ra
-
-
 def union_find_local(edges: "ray.data.Dataset | pa.Table") -> pa.Table:
     """(doc_id, cluster_id) for every node appearing in ``edges`` —
-    cluster_id = min member id of the component."""
-    dsu = _DSU()
+    cluster_id = min member id of the component.
+
+    Vectorized min-label propagation (VERDICT r3 wrong-#4): node ids are
+    densified with ``np.unique`` and labels converge by alternating
+    min-hooking (``np.minimum.at`` over edges) with full pointer-jumping
+    compression — O(E·log n) numpy ops instead of ~2·|E| Python dict
+    operations (seconds of driver time at the 2M-edge gate)."""
     if isinstance(edges, pa.Table):
         batches = [edges]
     else:
         batches = edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    parts_s, parts_d = [], []
     for b in batches:
-        src = b.column("src").to_numpy(zero_copy_only=False)
-        dst = b.column("dst").to_numpy(zero_copy_only=False)
-        for s, d in zip(src.tolist(), dst.tolist()):
-            dsu.union(s, d)
-    nodes = sorted(dsu.parent.keys() | {dsu.find(k) for k in dsu.parent})
+        parts_s.append(b.column("src").to_numpy(zero_copy_only=False))
+        parts_d.append(b.column("dst").to_numpy(zero_copy_only=False))
+    if not parts_s or not sum(len(p) for p in parts_s):
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+    s_raw = np.concatenate(parts_s)
+    d_raw = np.concatenate(parts_d)
+    nodes, inv = np.unique(np.concatenate([s_raw, d_raw]), return_inverse=True)
+    e1, e2 = inv[: len(s_raw)], inv[len(s_raw) :]
+    # nodes is sorted, so the min dense index in a component IS its min id
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        p1, p2 = parent[e1], parent[e2]
+        hi = np.maximum(p1, p2)
+        lo = np.minimum(p1, p2)
+        live = hi != lo
+        if not live.any():
+            break
+        np.minimum.at(parent, hi[live], lo[live])
+        while True:  # pointer jumping to full compression
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
     return pa.table(
         {
             "doc_id": pa.array(nodes, pa.int64()),
-            "cluster_id": pa.array([dsu.find(n) for n in nodes], pa.int64()),
+            "cluster_id": pa.array(nodes[parent], pa.int64()),
         }
     )
 
