@@ -92,6 +92,7 @@ def _config(args) -> NearDupConfig:
         args.algo = "minhash"
     cfg = NearDupConfig(
         algo=args.algo,
+        feature=getattr(args, "feature", "word"),
         minhash=MinHashConfig(scheme=getattr(args, "minhash_scheme", "kperm")),
     )
     if args.threshold is not None:
@@ -349,6 +350,9 @@ def main(argv: list[str] | None = None) -> int:
     common.add_argument("--num-cpus", type=int, default=None)
     common.add_argument("--no-extract", action="store_true",
                         help="input already has extracted text")
+    common.add_argument("--feature", choices=["word", "char", "bpe"], default="word",
+                        help="signature feature space (M4 registry analog: "
+                             "word tokens | char k-grams | BPE-ish pieces)")
     common.add_argument("--minhash-scheme", choices=["kperm", "oph"], default="kperm",
                         help="kperm = classic K permutations; oph = one-permutation hashing")
     common.add_argument("--no-recursive", action="store_true",

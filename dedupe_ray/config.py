@@ -88,6 +88,12 @@ class NearDupConfig:
     """Full flagship-pipeline configuration."""
 
     algo: str = "minhash"  # key into SIGNATURE_ALGOS
+    # Feature space for the signature kernels — key into
+    # functions.text.FEATURE_TOKENIZERS ("word" | "char" | "bpe"), the
+    # config-selectable analog of the reference's resample-filter registry
+    # (M4, /root/reference/utils/resize.go:632-860; hash paths use only
+    # Linear there, only "word" here by default).
+    feature: str = "word"
     minhash: MinHashConfig = field(default_factory=MinHashConfig)
     simhash: SimHashConfig = field(default_factory=SimHashConfig)
     # Skew control: an LSH bucket larger than this is salted into sub-buckets
@@ -102,6 +108,15 @@ class NearDupConfig:
     # edge set is small, distributed star-contraction otherwise.
     cc_method: str = "auto"
     cc_local_max_edges: int = 2_000_000
+
+    def __post_init__(self) -> None:
+        from dedupe_ray.functions.text import FEATURE_TOKENIZERS
+
+        if self.feature not in FEATURE_TOKENIZERS:
+            raise ValueError(
+                f"unknown feature {self.feature!r}; "
+                f"choose from {sorted(FEATURE_TOKENIZERS)}"
+            )
 
     def signature(self) -> MinHashConfig | SimHashConfig:
         return getattr(self, self.algo)

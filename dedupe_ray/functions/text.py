@@ -26,7 +26,9 @@ from __future__ import annotations
 import html as _html
 import re
 
-__all__ = ["extract_text", "extract_text_batch", "normalize_tokens", "BLOCK_TAGS"]
+__all__ = ["extract_text", "extract_text_batch", "normalize_tokens",
+           "char_tokens", "bpe_tokens", "FEATURE_TOKENIZERS", "BPE_TOKEN_RE",
+           "BLOCK_TAGS"]
 
 BLOCK_TAGS = (
     "address|article|aside|blockquote|body|br|caption|dd|div|dl|dt|fieldset|"
@@ -86,3 +88,38 @@ def normalize_tokens(text: str) -> list[str]:
     if low.isascii():
         return low.translate(_ASCII_KEEP).split()
     return _RE_TOKEN.findall(low)
+
+
+def char_tokens(text: str) -> list[str]:
+    """Character-stream feature space: each character of the lowercased,
+    whitespace-canonicalized text is one token, so the k-shingle machinery
+    yields char k-grams (robust to word-boundary edits; the standard choice
+    for CJK / no-whitespace scripts)."""
+    low = text.lower()
+    if low.isascii():
+        return list(" ".join(low.translate(_ASCII_KEEP).split()))
+    return list(" ".join(_RE_TOKEN.findall(low)))
+
+
+# BPE-ish token pattern — RE2-safe (no lookahead) so Arrow's
+# count_substring_regex and DuckDB's regexp_extract_all count identically.
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+_RE_BPE = re.compile(BPE_TOKEN_RE)
+
+
+def bpe_tokens(text: str) -> list[str]:
+    """GPT-2-style pre-tokenization feature space (case-folded)."""
+    return _RE_BPE.findall(text.lower())
+
+
+# Feature-space registry — the analog of the reference's 15-entry resample
+# filter registry (/root/reference/utils/resize.go:632-860, M4): the hash
+# paths there use only Linear (hash/hash.go:58); here the signature stage
+# uses only "word" by default, with the others config-selectable
+# (NearDupConfig.feature). Changing the feature changes every signature —
+# it participates in the config hash, so checkpoints invalidate correctly.
+FEATURE_TOKENIZERS: dict = {
+    "word": normalize_tokens,
+    "char": char_tokens,
+    "bpe": bpe_tokens,
+}

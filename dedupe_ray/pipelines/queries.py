@@ -23,9 +23,9 @@ from dedupe_ray.functions.quality import doc_stats_table, quality_score_table
 
 __all__ = ["read_table"]
 
-# BPE-ish token pattern — RE2-safe (no lookahead) so Arrow's
-# count_substring_regex and DuckDB's regexp_extract_all count identically.
-BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+# BPE-ish token pattern (defined with the feature-space registry in
+# functions/text.py; re-exported here for the oracle builder)
+from dedupe_ray.functions.text import BPE_TOKEN_RE
 
 
 def _strip_schema_metadata(batch: pa.Table) -> pa.Table:

@@ -22,7 +22,6 @@ from dedupe_ray.config import NearDupConfig
 from dedupe_ray.functions.hashing import hash_tokens, shingle_hashes
 from dedupe_ray.functions.minhash import MinHasher
 from dedupe_ray.functions.simhash import simhash_from_flat
-from dedupe_ray.functions.text import normalize_tokens
 
 __all__ = ["SignatureStage"]
 
@@ -40,6 +39,11 @@ class SignatureStage:
                                    getattr(mh, 'scheme', 'kperm'))
         self.token_cache: dict[str, int] = {}
         self.simhash_k = self.config.simhash.shingle_size
+        # feature-space variant (M4 registry): "word" is the pinned default;
+        # "char"/"bpe" swap the tokenizer, changing every signature
+        from dedupe_ray.functions.text import FEATURE_TOKENIZERS
+
+        self.tokenize = FEATURE_TOKENIZERS[getattr(self.config, "feature", "word")]
 
     def _shingles_flat(self, texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
         """Batch-vectorized: tokenize per doc (C fast path), UNIQUE the
@@ -48,7 +52,7 @@ class SignatureStage:
         index, then one global sliding-window shingle pass."""
         from dedupe_ray.functions.hashing import hash_token, shingle_hashes_flat
 
-        token_lists = [normalize_tokens(t or "") for t in texts]
+        token_lists = [self.tokenize(t or "") for t in texts]
         lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
         all_tokens: list[str] = []
         for tl in token_lists:

@@ -279,6 +279,64 @@ class TestShingleFlatEquivalence:
             )
 
 
+class TestFeatureSpaces:
+    def test_registry_variants_match_scalar_path(self):
+        """Each feature-space variant (M4 registry) drives the stage through
+        the same shingle/hash machinery: stage output must equal the scalar
+        kernel fed with that tokenizer's tokens."""
+        import pyarrow as pa
+
+        from dedupe_ray.config import NearDupConfig
+        from dedupe_ray.functions.hashing import hash_tokens, shingle_hashes
+        from dedupe_ray.functions.simhash import simhash_from_shingles
+        from dedupe_ray.functions.text import FEATURE_TOKENIZERS
+        from dedupe_ray.stages.signatures import SignatureStage
+
+        texts = ["The quick brown fox, it JUMPED!", "a b", "", "don't stop 123"]
+        tbl = pa.table({"text": texts})
+        for feat, tok in FEATURE_TOKENIZERS.items():
+            cfg = NearDupConfig(algo="simhash", feature=feat)
+            out = SignatureStage(cfg)(tbl)
+            for i, t in enumerate(texts):
+                want = simhash_from_shingles(
+                    shingle_hashes(hash_tokens(tok(t)), cfg.simhash.shingle_size)
+                )
+                assert int(out.column("simhash")[i].as_py()) == want, (feat, i)
+
+    def test_char_feature_clusters_planted_dups(self, ray_session):
+        """End-to-end flagship under the char feature space still clusters
+        the planted near-duplicate variants with their base pages."""
+        import pyarrow as pa
+        import ray.data
+
+        from dedupe_ray.config import NearDupConfig
+        from dedupe_ray.fixtures.pages import generate_pages
+        from dedupe_ray.pipelines.neardup import near_duplicates
+
+        fx = generate_pages(n_pages=120, seed=5)
+        out = pa.concat_tables(
+            list(
+                near_duplicates(
+                    ray.data.from_arrow(fx.pages),
+                    NearDupConfig(algo="minhash", feature="char"),
+                    extract=False,
+                ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            )
+        )
+        assert out.num_rows == 120
+        import collections
+
+        by_url = dict(zip(out.column("url").to_pylist(),
+                          out.column("cluster_id").to_pylist()))
+        sites = collections.defaultdict(set)
+        for url, cid in by_url.items():
+            sites[url.split("/")[2]].add(cid)
+        multi = [s for s, cids in sites.items() if len(cids) == 1 and s]
+        # most planted sites (base + jitter variants) collapse to one cluster
+        frac = len(multi) / max(1, len(sites))
+        assert frac >= 0.9, frac
+
+
 class TestOphMinHash:
     def test_oph_estimates_jaccard(self):
         """Densified OPH estimates must track exact Jaccard for sets larger
