@@ -406,21 +406,19 @@ def _near_duplicates_driver_path(
     final stamp) — the all-pairs work still happened distributedly in the
     banding sort."""
     from dedupe_ray.functions.metrics import hamming64
-    from dedupe_ray.stages.candidates import _collect_edge_ids
+    from dedupe_ray.stages.candidates import _distinct_pairs
     from dedupe_ray.stages.clustering import union_find_local
 
-    # collect + dedupe candidate pairs (already materialized, block-deduped)
+    # collect + dedupe candidate pairs (already materialized, block-deduped;
+    # lexsort-distinct ≈ 3× np.unique(axis=0) on dup-heavy corpora)
     parts = list(cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
     if parts:
         cand_tbl = pa.concat_tables(parts)
-        pairs = np.unique(
-            np.stack(
-                [cand_tbl.column("src").to_numpy(zero_copy_only=False),
-                 cand_tbl.column("dst").to_numpy(zero_copy_only=False)],
-                axis=1,
-            ),
-            axis=0,
+        s, d = _distinct_pairs(
+            cand_tbl.column("src").to_numpy(zero_copy_only=False),
+            cand_tbl.column("dst").to_numpy(zero_copy_only=False),
         )
+        pairs = np.stack([s, d], axis=1)
     else:
         pairs = np.zeros((0, 2), dtype=np.int64)
 

@@ -315,6 +315,46 @@ def test_top_tokens_unicode_oracle_parity(entrymod, tmp_path):
     _compare(ray_df, sql_df, "top_tokens_unicode")
 
 
+def test_hamming_audit_planted_neardups(entrymod, tmp_path):
+    """md5-simhash Hamming audit on a planted corpus: exact copies must pair
+    at hamming 0, light edits at small hamming, and the Ray result must be
+    bit-identical to the DuckDB replay — including <3-token docs (code 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest tonight") * 3
+    texts = [
+        base,
+        base,  # exact copy → hamming 0
+        base.replace("lazy", "sleepy", 1),  # one-word edit → small hamming
+        "completely different content about cooking pasta with garlic "
+        "butter and fresh basil leaves in a copper pan" * 2,
+        "xy",  # <3 tokens → code 0
+        "ab",  # <3 tokens → code 0 (pairs with the other at hamming 0)
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ray_df = _to_pandas(entrymod.queries()["neardup_docs_hamming_audit"](str(tmp_path)))
+    sql_df = c.execute(entrymod.oracle_sql()["neardup_docs_hamming_audit"]).fetchdf()
+    pairs = {
+        (int(s), int(d)): int(h)
+        for s, d, h in zip(ray_df["src"], ray_df["dst"], ray_df["hamming"])
+    }
+    assert pairs[(0, 1)] == 0  # exact copy
+    assert 0 < pairs[(0, 2)] <= 8  # light edit
+    assert pairs[(4, 5)] == 0  # both shingle-less → code 0
+    assert not any({0, 1} & {s, d} and 3 in (s, d) for s, d in pairs)
+    _compare(ray_df, sql_df, "hamming_audit_planted")
+
+
 def test_jaccard_audit_matches_bruteforce_on_random_corpora(entrymod, tmp_path):
     """The exact-pair audit pipeline (shared-shingle blocking + distributed
     intersection counts) must equal a naive driver brute force on random
