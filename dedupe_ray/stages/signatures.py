@@ -45,32 +45,40 @@ class SignatureStage:
 
         self.tokenize = FEATURE_TOKENIZERS[getattr(self.config, "feature", "word")]
 
+    # token-hash memo cap: ~1M entries ≈ 100 MB per worker; a web-scale
+    # vocabulary would otherwise grow the cache without bound. Clearing is
+    # correct (pure memo) and amortizes to nothing.
+    _CACHE_MAX = 1 << 20
+
     def _shingles_flat(self, texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Batch-vectorized: tokenize per doc (C fast path), UNIQUE the
-        batch's tokens so each distinct token is hashed once (Zipf →
-        unique count ≪ token count), scatter hashes back via the inverse
-        index, then one global sliding-window shingle pass."""
+        """Tokenize per doc (C fast path), hash tokens through the per-actor
+        memo dict, then one global sliding-window shingle pass.
+
+        The dict memo beats the earlier np.unique de-dup pass ~4× on Zipfian
+        batches: np.unique must SORT the batch's fixed-width unicode tokens
+        (~0.26 s per 580k tokens) while dict lookups on interned strings are
+        ~0.07 s — and blake2b only ever runs once per DISTINCT token either
+        way (r4 measurement, BASELINE.md)."""
         from dedupe_ray.functions.hashing import hash_token, shingle_hashes_flat
 
         token_lists = [self.tokenize(t or "") for t in texts]
         lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
-        all_tokens: list[str] = []
-        for tl in token_lists:
-            all_tokens.extend(tl)
-        if all_tokens:
-            arr = np.asarray(all_tokens)  # fixed-width unicode, C sort
-            uniq, inverse = np.unique(arr, return_inverse=True)
-            cache = self.token_cache
-            uniq_hashes = np.empty(len(uniq), dtype=np.uint64)
-            for i, t in enumerate(uniq.tolist()):
-                h = cache.get(t)
-                if h is None:
-                    h = hash_token(t)
-                    cache[t] = h
-                uniq_hashes[i] = h
-            flat_tok = uniq_hashes[inverse]
-        else:
-            flat_tok = np.zeros(0, dtype=np.uint64)
+        total = int(lens.sum())
+        cache = self.token_cache
+        if len(cache) > self._CACHE_MAX:
+            cache.clear()
+        cache_get = cache.get
+
+        def _hashes():
+            for tl in token_lists:
+                for t in tl:
+                    h = cache_get(t)
+                    if h is None:
+                        h = hash_token(t)
+                        cache[t] = h
+                    yield h
+
+        flat_tok = np.fromiter(_hashes(), dtype=np.uint64, count=total)
         return shingle_hashes_flat(flat_tok, lens, k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
