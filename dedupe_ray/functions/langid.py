@@ -40,6 +40,14 @@ class LangIdentifier:
         self.profiles = profiles or LANG_PROFILES
         self.langs = sorted(self.profiles)  # deterministic tie-break order
         self.min_tokens = min_tokens
+        # token → packed per-language counter increment (32 bits per language,
+        # Python int so overflow is impossible); one C-speed sum(map(get, toks))
+        # per doc yields every language's hit count at once
+        self._packed: dict[str, int] = {}
+        for b, lang in enumerate(self.langs):
+            inc = 1 << (32 * b)
+            for t in self.profiles[lang]:
+                self._packed[t] = self._packed.get(t, 0) + inc
 
     def predict(self, text: str) -> str:
         toks = normalize_tokens(text)
@@ -55,4 +63,29 @@ class LangIdentifier:
         return best_lang if best_score >= 0.08 else "und"
 
     def predict_batch(self, texts) -> np.ndarray:
-        return np.array([self.predict(t) for t in texts], dtype=object)
+        """Batch scoring — EXACTLY ``[predict(t) for t in texts]`` (pinned by
+        test): the packed-counter dict folds every language's hit count into
+        one C-speed ``sum(filter(None, map(dict.get, toks)))`` per doc (one
+        membership pass instead of one per language); the strict-> scan in
+        alphabetical order and the single float64 division per score match the
+        scalar kernel bit-for-bit."""
+        out = np.full(len(texts), "und", dtype=object)
+        pget = self._packed.get
+        langs = self.langs
+        shifts = [32 * b for b in range(len(langs))]
+        mask = (1 << 32) - 1
+        min_tokens = self.min_tokens
+        for i, text in enumerate(texts):
+            toks = normalize_tokens(text)
+            n = len(toks)
+            if n < min_tokens:
+                continue
+            packed = sum(filter(None, map(pget, toks)))
+            best_lang, best_score = "und", 0.0
+            for lang, sh in zip(langs, shifts):
+                score = ((packed >> sh) & mask) / n
+                if score > best_score:
+                    best_lang, best_score = lang, score
+            if best_score >= 0.08:
+                out[i] = best_lang
+        return out

@@ -218,6 +218,34 @@ class TestLangId:
         assert li.predict("le chat est dans la maison avec les souris et le chien") == "fr"
         assert li.predict("zzz qqq xxx") == "und"
 
+    def test_batch_matches_scalar(self):
+        """predict_batch is EXACTLY [predict(t) for t in texts] — the oracle
+        (SQL replay of the scalar kernel) depends on this equivalence."""
+        li = LangIdentifier()
+        rng = np.random.default_rng(7)
+        vocab = (
+            "the of and to in was het de la que el en le les und der die das "
+            "zzz qqq foo bar baz chat hund gato perro maison haus casa"
+        ).split()
+        texts = [
+            "",  # zero tokens
+            "   ,,, !!!",  # zero tokens after normalize
+            "the of",  # below min_tokens
+            "de la que en de la que en",  # fr/es shared tokens -> tie-break
+            "the the the zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz",  # near 0.08 gate
+            "the cat sat on the mat and it was happy with this thing",
+            "der hund und die katze sind in dem haus mit einer maus",
+        ]
+        # random soup, zero-token docs interleaved (exercises reduceat offsets)
+        for i in range(60):
+            n = int(rng.integers(0, 25))
+            texts.append(" ".join(rng.choice(vocab, size=n)) if n else "")
+        expect = [li.predict(t) for t in texts]
+        got = li.predict_batch(texts)
+        assert list(got) == expect
+        # memo warm path: second call identical
+        assert list(li.predict_batch(texts)) == expect
+
 
 class TestFingerprint:
     def test_deterministic_and_robust(self):
