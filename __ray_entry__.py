@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": Q.langid_docs,
         "fingerprint_docs": Q.fingerprint_docs,
         "neardup_docs_hamming_audit": Q.neardup_docs_hamming_audit,
+        "dup_rate_per_source": Q.dup_rate_per_source,
+        "vocab_stats": Q.vocab_stats,
+        "neardup_docs_minhash_audit": Q.neardup_docs_minhash_audit,
         # --- rows-only (not SQL-expressible) -------------------------------
         "neardup_pages_minhash": Q.neardup_pages_minhash,
         "neardup_pages_minhash_oph": Q.neardup_pages_minhash_oph,
@@ -160,6 +163,15 @@ def _langid_profile_values() -> str:
         "('%s', [%s])"
         % (lang, ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang])))
         for lang in sorted(LANG_PROFILES)
+    )
+
+
+def _minhash_perm_values() -> str:
+    """(slot, a, b) VALUES rows from the minhash-audit permutation constants —
+    single source of truth with the numpy kernel (`Q._MINHASH_AUDIT_PERMS`)."""
+    return ", ".join(
+        f"({s}, CAST({a} AS HUGEINT), CAST({b} AS HUGEINT))"
+        for s, (a, b) in enumerate(Q._MINHASH_AUDIT_PERMS)
     )
 
 
@@ -408,6 +420,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(bit_count(xor(a.code, b.code)) AS BIGINT) AS hamming "
             "FROM codes a JOIN codes b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.code, b.code)) <= 8"
+        ),
+        "dup_rate_per_source": (
+            # Ray side hashes text with 128-bit blake2b for the distinct;
+            # exact SQL count(DISTINCT ...) matches unless blake2b collides
+            "SELECT COALESCE(source, '') AS source, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(DISTINCT COALESCE(text, '')) AS BIGINT) AS n_distinct, "
+            "CAST(count(*) - count(DISTINCT COALESCE(text, '')) AS BIGINT) "
+            "AS n_dup_docs FROM documents GROUP BY COALESCE(source, '')"
+        ),
+        "vocab_stats": (
+            "WITH tok AS (SELECT COALESCE(lang, '') AS lang, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t "
+            "FROM documents) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS total_tokens, "
+            "CAST(count(DISTINCT t) AS BIGINT) AS distinct_tokens "
+            "FROM tok GROUP BY lang"
+        ),
+        "neardup_docs_minhash_audit": (
+            # md5-minhash sketch: same shingle CTE as the hamming audit, then
+            # 8 permutations (a*h + b) mod 2^64 in HUGEINT wrap arithmetic
+            # (the fingerprint oracle's 32x64 multiply split), min per slot
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "shm AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+            "FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), "
+            "h AS (SELECT doc_id, CAST(md5_number_upper(s) AS HUGEINT) AS hv "
+            "FROM shm), "
+            "ph AS (SELECT doc_id, p.slot, ((hv % 4294967296) * p.a + "
+            "((hv // 4294967296) * p.a % 4294967296) * 4294967296 + p.b) "
+            f"% {_FP_M64} AS v "
+            f"FROM h, (VALUES {_minhash_perm_values()}) AS p(slot, a, b)) "
+            "SELECT doc_id, CAST(slot AS BIGINT) AS slot, "
+            "CAST(min(v) AS UBIGINT) AS minhash FROM ph GROUP BY doc_id, slot"
         ),
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "docs_per_source_lang": (

@@ -2301,3 +2301,240 @@ def top_tokens(sf_dir: str, k: int = 20):
         {"token": pa.array([t for t, _ in items], pa.string()),
          "n": pa.array([int(n) for _, n in items], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-statistics queries (round 4): domain-level dedup rollup, vocabulary
+# coverage, and the md5-minhash sketch audit. The first two share one scale
+# shape — per-batch (group, hash128, n) partials, ONE composite sort, per-block
+# adjacency counting, then a tiny single-key groupby over per-block partials —
+# so only pre-deduped 24-byte rows ever shuffle, never text.
+# ---------------------------------------------------------------------------
+
+
+def _grouped_hash_distinct(rows: "ray.data.Dataset", group_col: str, sum_col: str, distinct_col: str):
+    """``rows`` = (group_col:str, h1:uint64, h2:uint64, n:int64) partials →
+    per-group (sum(n), count of distinct (h1,h2)) as a small Dataset.
+
+    All rows of one (group, h1, h2) land in one block after the composite
+    sort (`sorted_group_apply` contract), so a distinct triple is counted
+    exactly once; a GROUP may straddle blocks, hence the per-block partial +
+    final single-key groupby (small: #groups × #blocks rows)."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    def _block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    sum_col: pa.array([], pa.int64()),
+                    distinct_col: pa.array([], pa.int64()),
+                }
+            )
+        g = np.asarray(block.column(group_col).to_pylist(), dtype=object)
+        h1 = block.column("h1").to_numpy(zero_copy_only=False)
+        h2 = block.column("h2").to_numpy(zero_copy_only=False)
+        n = block.column("n").to_numpy(zero_copy_only=False)
+        gchg = np.ones(len(g), dtype=bool)
+        gchg[1:] = g[1:] != g[:-1]
+        tchg = gchg.copy()
+        tchg[1:] |= (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        gstarts = np.flatnonzero(gchg)
+        return pa.table(
+            {
+                group_col: pa.array(g[gstarts], pa.string()),
+                sum_col: pa.array(np.add.reduceat(n, gstarts).astype(np.int64), pa.int64()),
+                distinct_col: pa.array(
+                    np.add.reduceat(tchg.astype(np.int64), gstarts), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        sorted_group_apply(rows, [group_col, "h1", "h2"], _block)
+        .groupby(group_col)
+        .aggregate(Sum(sum_col, alias_name=sum_col), Sum(distinct_col, alias_name=distinct_col))
+    )
+
+
+def dup_rate_per_source(sf_dir: str):
+    """Domain-level dedup rollup (the RefinedWeb/FineWeb per-domain decision
+    input): per ``source`` — total docs, distinct texts, duplicated docs.
+    Distinct-by-text uses a 128-bit blake2b of the text (collision odds
+    ~2^-64 per corpus; the SQL oracle's count(DISTINCT text) is exact —
+    identical unless blake2b collides). Only per-batch-combined 24-byte hash
+    rows shuffle; text never leaves the read stage."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+
+    def _hash_rows(batch: pa.Table) -> pa.Table:
+        acc: dict[tuple, int] = {}
+        for src, text in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            d = hashlib.blake2b((text or "").encode(), digest_size=16).digest()
+            k = (src or "", d)
+            acc[k] = acc.get(k, 0) + 1
+        srcs, h1s, h2s, ns = [], [], [], []
+        for (src, d), cnt in acc.items():
+            srcs.append(src)
+            h1s.append(int.from_bytes(d[:8], "little"))
+            h2s.append(int.from_bytes(d[8:], "little"))
+            ns.append(cnt)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "h1": pa.array(np.asarray(h1s, dtype=np.uint64), pa.uint64()),
+                "h2": pa.array(np.asarray(h2s, dtype=np.uint64), pa.uint64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(_hash_rows, batch_format="pyarrow", batch_size=4096)
+    agg = _grouped_hash_distinct(rows, "source", "n_docs", "n_distinct")
+
+    def _final(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_docs")
+        dis = batch.column("n_distinct")
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": nd,
+                "n_distinct": dis,
+                "n_dup_docs": pc.subtract(nd, dis),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def vocab_stats(sf_dir: str):
+    """Vocabulary coverage per language: total token occurrences and distinct
+    tokens (audit-family ASCII tokenizer; ``lang`` coalesced to '' so the SQL
+    oracle needs no NULL-group plumbing). Same scale shape as
+    ``dup_rate_per_source`` — per-batch token-hash partials combine before
+    the one composite sort; token strings never shuffle."""
+    import hashlib
+    import re as _re
+
+    pat = _re.compile(_ASCII_TOKEN_RE_SRC)
+    ds = read_table(sf_dir, "documents", ["lang", "text"])
+
+    def _hash_rows(batch: pa.Table) -> pa.Table:
+        memo: dict[str, bytes] = {}
+        acc: dict[tuple, int] = {}
+        for lang, text in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            lg = lang or ""
+            for t in pat.findall((text or "").lower()):
+                d = memo.get(t)
+                if d is None:
+                    d = hashlib.blake2b(t.encode(), digest_size=16).digest()
+                    memo[t] = d
+                k = (lg, d)
+                acc[k] = acc.get(k, 0) + 1
+        langs, h1s, h2s, ns = [], [], [], []
+        for (lg, d), cnt in acc.items():
+            langs.append(lg)
+            h1s.append(int.from_bytes(d[:8], "little"))
+            h2s.append(int.from_bytes(d[8:], "little"))
+            ns.append(cnt)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "h1": pa.array(np.asarray(h1s, dtype=np.uint64), pa.uint64()),
+                "h2": pa.array(np.asarray(h2s, dtype=np.uint64), pa.uint64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(_hash_rows, batch_format="pyarrow", batch_size=4096)
+    return _grouped_hash_distinct(rows, "lang", "total_tokens", "distinct_tokens")
+
+
+# 8 fixed (a, b) permutation constants for the md5-minhash audit — single
+# source of truth for BOTH the numpy kernel and the SQL oracle literals
+# (__ray_entry__ formats these into the VALUES list). a odd → bijective
+# mod 2^64.
+_MINHASH_AUDIT_PERMS: list[tuple[int, int]] = []
+_s = 0x9E3779B97F4A7C15
+for _i in range(8):
+    _a = (_s * (2 * _i + 1)) & 0xFFFFFFFFFFFFFFFF
+    _x = (_i + 1) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+    _x ^= _x >> 31
+    _MINHASH_AUDIT_PERMS.append((_a, _x))
+del _s, _i, _a, _x
+
+
+def neardup_docs_minhash_audit(sf_dir: str):
+    """MinHash SKETCH audit — the flagship's core kernel with the hash
+    primitive swapped to md5 (`md5_number_upper` = first 8 digest bytes
+    little-endian) so DuckDB computes identical signatures: word-3-shingle →
+    md5 → 8 permutations ``(a·h + b) mod 2^64`` (``_MINHASH_AUDIT_PERMS``) →
+    min per slot. Output is long-form (doc_id, slot, minhash); docs with <3
+    tokens emit no rows on either engine. Completes the audit family: verify
+    (jaccard), clustering, simhash and NOW the minhash sketch itself are all
+    SQL-replayed (CLAUDE.md audit-oracle recipe)."""
+    import hashlib
+
+    import re as _re
+
+    pat = _re.compile(_ASCII_TOKEN_RE_SRC)
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _sigs(batch: pa.Table) -> pa.Table:
+        parts: list[np.ndarray] = []
+        kept: list[int] = []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = pat.findall((text or "").lower())
+            n = len(toks) - 2
+            if n <= 0:
+                continue
+            parts.append(
+                np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5((" ".join(toks[i : i + 3])).encode()).digest()[:8],
+                            "little",
+                        )
+                        for i in range(n)
+                    ),
+                    dtype=np.uint64,
+                    count=n,
+                )
+            )
+            kept.append(did)
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "slot": pa.array([], pa.int64()),
+                    "minhash": pa.array([], pa.uint64()),
+                }
+            )
+        flat = np.concatenate(parts)
+        offsets = np.zeros(len(parts), dtype=np.int64)
+        offsets[1:] = np.cumsum([len(p) for p in parts])[:-1]
+        ids = np.asarray(kept, dtype=np.int64)
+        id_col, slot_col, mh_col = [], [], []
+        with np.errstate(over="ignore"):
+            for s, (a, b) in enumerate(_MINHASH_AUDIT_PERMS):
+                v = flat * np.uint64(a) + np.uint64(b)  # 1-D wrap pass
+                id_col.append(ids)
+                slot_col.append(np.full(len(ids), s, dtype=np.int64))
+                mh_col.append(np.minimum.reduceat(v, offsets))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(id_col), pa.int64()),
+                "slot": pa.array(np.concatenate(slot_col), pa.int64()),
+                "minhash": pa.array(np.concatenate(mh_col), pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(_sigs, batch_format="pyarrow", batch_size=1024)

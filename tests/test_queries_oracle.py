@@ -453,3 +453,62 @@ def test_entry_smoke(entrymod):
     merged = var.merge(base, on="key", suffixes=("_v", "_b"))
     frac = (merged.cluster_id_v == merged.cluster_id_b).mean()
     assert frac >= 0.95, frac
+
+
+def test_corpus_stats_planted(entrymod, tmp_path):
+    """dup_rate_per_source / vocab_stats / neardup_docs_minhash_audit on a
+    planted corpus with hand-computed answers, plus bit-parity vs the DuckDB
+    oracles — including NULL source/lang/text (coalesced to '' both engines)
+    and <3-token docs (no minhash rows on either engine)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        # (doc_id, text, lang, source)
+        (0, "alpha beta gamma alpha", "en", "siteA"),
+        (1, "alpha beta gamma alpha", "en", "siteA"),  # exact dup in siteA
+        (2, "delta epsilon zeta eta theta", "en", "siteA"),
+        (3, "alpha beta", "de", "siteB"),  # <3 tokens -> no minhash rows
+        (4, None, None, None),  # NULL text/lang/source -> '' groups
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+
+    dup = _to_pandas(q["dup_rate_per_source"](str(tmp_path)))
+    by_src = {r["source"]: r for _, r in dup.iterrows()}
+    assert (by_src["siteA"]["n_docs"], by_src["siteA"]["n_distinct"],
+            by_src["siteA"]["n_dup_docs"]) == (3, 2, 1)
+    assert (by_src["siteB"]["n_docs"], by_src["siteB"]["n_dup_docs"]) == (1, 0)
+    assert by_src[""]["n_docs"] == 1  # NULL source coalesced
+    _compare(dup, c.execute(o["dup_rate_per_source"]).fetchdf(), "dup_rate_planted")
+
+    voc = _to_pandas(q["vocab_stats"](str(tmp_path)))
+    by_lang = {r["lang"]: r for _, r in voc.iterrows()}
+    # en: docs 0,1,2 -> 13 tokens total, distinct {alpha beta gamma delta
+    # epsilon zeta eta theta} = 8
+    assert (by_lang["en"]["total_tokens"], by_lang["en"]["distinct_tokens"]) == (13, 8)
+    assert (by_lang["de"]["total_tokens"], by_lang["de"]["distinct_tokens"]) == (2, 2)
+    assert "" not in by_lang  # NULL-lang doc has no tokens -> no group
+    _compare(voc, c.execute(o["vocab_stats"]).fetchdf(), "vocab_planted")
+
+    mh = _to_pandas(q["neardup_docs_minhash_audit"](str(tmp_path)))
+    sig = {
+        did: sorted(zip(g["slot"], g["minhash"])) for did, g in mh.groupby("doc_id")
+    }
+    assert sig[0] == sig[1]  # exact copies share the full signature
+    assert sig[0] != sig[2]
+    assert set(sig) == {0, 1, 2}  # doc 3 (<3 tokens) and doc 4 emit nothing
+    assert all(len(s) == 8 for s in sig.values())
+    _compare(mh, c.execute(o["neardup_docs_minhash_audit"]).fetchdf(), "minhash_planted")
