@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "redact_docs",                 # r3: vectorized PII redaction
     "stratified_sample_docs",      # r3: per-lang partial-top-k sample
     "segment_dedup_docs",          # r3: C4-style repeated-segment counts
+    "orders_lineitem_join_sm",     # r4: custom sort-merge vs native join above
+    "langid_docs",                 # r4: packed per-language ngram counters
+    "fingerprint_docs",            # r4: winnowing fingerprints (rolling hash)
+    "vocab_stats",                 # r4: distinct-token partials, no text shuffle
 ]
 HEADLINE = "neardup_pages_bench"
 
