@@ -68,4 +68,4 @@ def compare(
             out = batch.filter(pa.array(keep))
             return out.append_column("score", pa.array(est[keep], pa.float64()))
 
-    return signatures.map_batches(_score, batch_format="pyarrow", batch_size=4096)
+    return signatures.map_batches(_score, batch_format="pyarrow", batch_size=None)

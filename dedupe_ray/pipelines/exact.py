@@ -41,7 +41,7 @@ def exact_dedup(
     One shuffle, keyed on the 128-bit content hash.
     """
     hashed = ds.map_batches(
-        lambda b: content_hash_column(b, text_col), batch_format="pyarrow", batch_size=4096
+        lambda b: content_hash_column(b, text_col), batch_format="pyarrow", batch_size=None
     )
 
     def _first_block(block: pa.Table) -> pa.Table:

@@ -87,7 +87,7 @@ def doc_token_counts(sf_dir: str):
             {"doc_id": batch.column("doc_id"), "n_tokens": pc.cast(n, pa.int64())}
         )
 
-    return ds.map_batches(_counts, batch_format="pyarrow", batch_size=4096)
+    return ds.map_batches(_counts, batch_format="pyarrow", batch_size=None)
 
 
 def doc_bpe_token_counts(sf_dir: str):
@@ -99,7 +99,7 @@ def doc_bpe_token_counts(sf_dir: str):
             {"doc_id": batch.column("doc_id"), "n_bpe_tokens": pc.cast(n, pa.int64())}
         )
 
-    return ds.map_batches(_counts, batch_format="pyarrow", batch_size=4096)
+    return ds.map_batches(_counts, batch_format="pyarrow", batch_size=None)
 
 
 def doc_stats(sf_dir: str):
@@ -112,7 +112,7 @@ def doc_stats(sf_dir: str):
             cols[k] = pc.cast(v, pa.int64())
         return pa.table(cols)
 
-    return ds.map_batches(_stats, batch_format="pyarrow", batch_size=4096)
+    return ds.map_batches(_stats, batch_format="pyarrow", batch_size=None)
 
 
 def exact_dedup_docs(sf_dir: str):
@@ -132,7 +132,7 @@ def filter_long_docs(sf_dir: str):
     return ds.map_batches(
         lambda b: b.filter(pc.greater(b.column("n_chars"), 300)).select(["doc_id", "lang"]),
         batch_format="pyarrow",
-        batch_size=8192,
+        batch_size=None,
     )
 
 
@@ -348,20 +348,29 @@ def embedding_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
 # ---------------------------------------------------------------------------
 
 
+_LANGID_MEMO: list = []  # per-worker-process LangIdentifier cache
+
+
 def langid_docs(sf_dir: str):
+    """Language ID over documents. NOT an actor pool on purpose: the
+    identifier's setup (interning ~150 profile tokens) is microseconds, so a
+    per-worker-process memo gives actor-pool semantics (build once, reuse
+    across batches) without the ~0.8 s actor spin-up that dominated this
+    query's wall time, and plain tasks keep one task per explicitly-sized
+    block (an actor pool with batch_size=4096 coalesced 8 blocks into 2
+    skewed tasks). A model-scale identifier WOULD be an actor pool — see
+    ``MediaFeatureStage`` for that pattern."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
-    class _LangId:
-        def __init__(self):
-            self.ident = LangIdentifier()
+    def _langid(batch: pa.Table) -> pa.Table:
+        if not _LANGID_MEMO:
+            _LANGID_MEMO.append(LangIdentifier())
+        preds = _LANGID_MEMO[0].predict_batch(batch.column("text").to_pylist())
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "pred_lang": pa.array(preds, pa.string())}
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            preds = self.ident.predict_batch(batch.column("text").to_pylist())
-            return pa.table(
-                {"doc_id": batch.column("doc_id"), "pred_lang": pa.array(preds, pa.string())}
-            )
-
-    return ds.map_batches(_LangId, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+    return ds.map_batches(_langid, batch_format="pyarrow", batch_size=None)
 
 
 def quality_docs(sf_dir: str):
@@ -372,7 +381,7 @@ def quality_docs(sf_dir: str):
         cols.update(quality_score_table(batch.column("text")))
         return pa.table(cols)
 
-    return ds.map_batches(_q, batch_format="pyarrow", batch_size=4096)
+    return ds.map_batches(_q, batch_format="pyarrow", batch_size=None)
 
 
 def fingerprint_docs(sf_dir: str):
@@ -391,7 +400,7 @@ def fingerprint_docs(sf_dir: str):
             }
         )
 
-    return ds.map_batches(_fp, batch_format="pyarrow", batch_size=2048)
+    return ds.map_batches(_fp, batch_format="pyarrow", batch_size=None)
 
 
 def _doc_pages_batch(batch: pa.Table, expand_dups: bool, copies: int) -> pa.Table:
@@ -963,7 +972,7 @@ def segment_dedup_docs(sf_dir: str, min_count: int = 3):
             }
         )
 
-    return ds.map_batches(_score, batch_format="pyarrow", batch_size=1024)
+    return ds.map_batches(_score, batch_format="pyarrow", batch_size=None)
 
 
 _EMAIL_RE_SRC = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
@@ -990,7 +999,7 @@ def redact_docs(sf_dir: str):
             }
         )
 
-    return ds.map_batches(_redact, batch_format="pyarrow", batch_size=4096)
+    return ds.map_batches(_redact, batch_format="pyarrow", batch_size=None)
 
 
 _IVF_N_LISTS = 16
@@ -1487,7 +1496,7 @@ def oov_rate_docs(sf_dir: str, vocab_k: int = 1000):
             }
         )
 
-    return ds.map_batches(_score, batch_format="pyarrow", batch_size=512)
+    return ds.map_batches(_score, batch_format="pyarrow", batch_size=None)
 
 
 def suppliers_per_region(sf_dir: str):

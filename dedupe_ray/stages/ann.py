@@ -84,6 +84,11 @@ def brute_force_topk(
             }
         )
 
+    # batch_size stays NUMERIC here (unlike the per-row kernels swept to
+    # None): a numeric batch_size slices batches to a deterministic shape,
+    # and BLAS dgemm rounding varies with matrix shape (~1 ulp), so
+    # batch_size=None would make `similarity` depend on block structure and
+    # break both the block-invariance test and the bit-hash oracle match.
     parts = pa.concat_tables(
         list(
             embeddings.map_batches(_partial, batch_format="pyarrow", batch_size=4096)
