@@ -99,6 +99,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_docs": Q.containment_docs,
         "training_corpus": Q.training_corpus,
         "distinct_users_hll": Q.distinct_users_hll,
+        # SQL-expressible but OUTSIDE the driver's 50-entry window (it is
+        # already full of oracled queries) — their DuckDB oracles live in
+        # ``local_oracle_sql()`` and run in the local replica gate
+        # (tests/test_queries_oracle.py::test_local_sql_oracled_queries).
+        "fuzzy_match_parts": Q.fuzzy_match_parts,
+        "fuzzy_match_docs": Q.fuzzy_match_docs,
+        "orders_lineitem_join_bc": Q.orders_lineitem_join_bc,
     }
 
 
@@ -568,4 +575,49 @@ def oracle_sql() -> dict[str, str]:
         # n_lists) provably equal brute force — same oracle as embedding_topk
         "ann_srp_exact_topk": _TOPK_SQL,
         "ann_ivf_exact_topk": _TOPK_SQL,
+    }
+
+
+# SQL replica of functions/metrics.jaro_winkler over columns s, t: DuckDB's
+# jaro_similarity agrees bit-for-bit with the kernel's Jaro part (verified
+# over 4k random + mutated pairs); the Winkler boost is replayed explicitly
+# because the kernel applies it UNCONDITIONALLY (prefix*0.1*(1-jaro)) while
+# DuckDB's jaro_winkler_similarity gates it on jaro > 0.7.
+_JW_SQL = (
+    "CASE WHEN s = t THEN CAST(1.0 AS DOUBLE) ELSE "
+    "jaro_similarity(s, t) + "
+    "(CASE WHEN substr(s,1,4)=substr(t,1,4) THEN 4 "
+    "WHEN substr(s,1,3)=substr(t,1,3) THEN 3 "
+    "WHEN substr(s,1,2)=substr(t,1,2) THEN 2 "
+    "WHEN substr(s,1,1)=substr(t,1,1) THEN 1 ELSE 0 END * 0.1) "
+    "* (1.0 - jaro_similarity(s, t)) END"
+)
+
+
+def local_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for queries that are SQL-expressible but do not fit in
+    the driver's 50-entry correctness window (``oracle_sql()`` already fills
+    all 50 slots). Run by the local replica gate with the same row-count +
+    schema + order-insensitive value comparison."""
+    return {
+        "fuzzy_match_parts": (
+            "WITH c AS (SELECT DISTINCT p_name AS nm, "
+            "split_part(p_name, ' ', -1) AS blk FROM part), "
+            "p AS (SELECT a.nm AS s, b.nm AS t FROM c a JOIN c b "
+            "ON a.blk = b.blk AND a.nm < b.nm) "
+            f"SELECT * FROM (SELECT s AS name_a, t AS name_b, {_JW_SQL} AS jw "
+            "FROM p) WHERE jw >= 0.88"
+        ),
+        "fuzzy_match_docs": (
+            "WITH d AS (SELECT doc_id, lang || '|' || split_part(text, ' ', 1) AS blk, "
+            "substr(text, 1, 64) AS s64 FROM documents), "
+            "p AS (SELECT a.doc_id AS ka, b.doc_id AS kb, a.s64 AS s, b.s64 AS t "
+            "FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id) "
+            f"SELECT * FROM (SELECT ka AS id_a, kb AS id_b, {_JW_SQL} AS jw "
+            "FROM p) WHERE jw >= 0.95"
+        ),
+        "orders_lineitem_join_bc": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
     }

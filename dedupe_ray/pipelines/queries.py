@@ -2547,3 +2547,90 @@ def neardup_docs_minhash_audit(sf_dir: str):
         )
 
     return ds.map_batches(_sigs, batch_format="pyarrow", batch_size=1024)
+
+
+# ---------------------------------------------------------------------------
+# r4: standalone fuzzy (Jaro-Winkler) entity resolution + third join strategy
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_match_parts(sf_dir: str):
+    """Vocabulary-level fuzzy ER: distinct part names blocked on their last
+    word (the entity type), all within-block pairs Jaro-Winkler-scored with
+    the vectorized kernel, pairs >= 0.88 emitted. Dedup-before-pairing keeps
+    the quadratic stage sized by the (constant) name vocabulary, not the
+    corpus (stages/fuzzy.py). Locally SQL-oracled via a jaro_similarity +
+    explicit Winkler-boost replica of the kernel's exact formula."""
+    from dedupe_ray.stages.fuzzy import fuzzy_match_names
+
+    ds = read_table(sf_dir, "part", ["p_name"])
+    return fuzzy_match_names(
+        ds, "p_name", block_of=lambda s: s.rsplit(" ", 1)[-1], threshold=0.88
+    )
+
+
+def fuzzy_match_docs(sf_dir: str):
+    """Record-level fuzzy ER over documents: block on (lang, first token),
+    score the 64-char text prefix pairwise with Jaro-Winkler, emit doc-id
+    pairs >= 0.95. Only (doc_id, blk, 64-char prefix) enters the sort —
+    the corpus text never shuffles."""
+    from dedupe_ray.stages.fuzzy import fuzzy_match_records
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _block(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "s64": pa.array([t[:64] for t in texts], pa.string()),
+                "blk": pa.array(
+                    [f"{lg}|{t.split(' ')[0] if t else ''}" for lg, t in zip(langs, texts)],
+                    pa.string(),
+                ),
+            }
+        )
+
+    blocked = ds.map_batches(_block, batch_format="pyarrow", batch_size=None)
+    return fuzzy_match_records(
+        blocked, "doc_id", "s64", "blk", threshold=0.95, prefix_chars=None
+    )
+
+
+def orders_lineitem_join_bc(sf_dir: str):
+    """The same large-large join as ``orders_lineitem_join`` expressed as a
+    BROADCAST hash join: orders (the small side at 1:4 row ratio) is sorted
+    once, shipped once via ray.put, and probed per lineitem batch with a
+    vectorized searchsorted — lineitem (the big side) never shuffles. Third
+    point of the join-strategy comparison (native shuffle / sort-merge /
+    broadcast); same oracle SQL as its siblings."""
+    orders = pa.concat_tables(
+        list(
+            read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        )
+    )
+    keys = orders.column("o_orderkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    dates = orders.column("o_orderdate").combine_chunks().take(pa.array(order, pa.int64()))
+    ref = ray.put((keys[order], dates))
+
+    def _join(batch: pa.Table) -> pa.Table:
+        k, d = ray.get(ref)
+        lk = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(k, lk), 0, len(k) - 1)
+        hit = k[pos] == lk
+        out = batch.filter(pa.array(hit))
+        return pa.table(
+            {
+                "l_orderkey": out.column("l_orderkey"),
+                "l_linenumber": out.column("l_linenumber"),
+                "l_quantity": out.column("l_quantity"),
+                "o_orderdate": d.take(pa.array(pos[hit], pa.int64())),
+            }
+        )
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    return li.map_batches(_join, batch_format="pyarrow", batch_size=None)

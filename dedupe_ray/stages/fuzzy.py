@@ -1,0 +1,159 @@
+"""Fuzzy (Jaro-Winkler) blocked matching — the entity-resolution operator
+behind the flagship's confirm stage, exposed standalone.
+
+Shape: a cheap blocking key per row → ONE range-partitioned sort on the key
+(``sorted_group_apply``) → within-block all-pairs scored with the
+vectorized-across-pairs JW kernel (``functions/metrics.jaro_winkler_pairs``)
+→ emit pairs above threshold. This is the classic blocking + pairwise-scoring
+ER split (reference analog: the per-bucket Hamming confirm,
+/root/reference/dedupe/dupes.go:45-78, with JW in place of Hamming); the
+quadratic work is bounded per block by the blocking-key choice, and the only
+corpus-sized exchange is the sort of (block_key, id, text-prefix) rows.
+
+Two grains:
+
+- ``fuzzy_match_records`` — record-level: (id_a, id_b, jw) pairs. Scores a
+  bounded text PREFIX so the sorted rows stay small at corpus scale.
+- ``fuzzy_match_names`` — name/vocabulary-level: rows are deduped to
+  DISTINCT names per batch BEFORE the sort (classic dedupe-before-pairing),
+  so the pairwise stage is sized by vocabulary, not corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from dedupe_ray.functions.metrics import jaro_winkler_pairs
+from dedupe_ray.stages.groupapply import sorted_group_apply
+
+__all__ = ["fuzzy_match_records", "fuzzy_match_names"]
+
+
+def _group_pairs(blk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-group index pairs (i < j positionally) for a SORTED block
+    column. Vectorized over groups: repeat/arange offset arithmetic, no
+    per-group Python loop (same shape as candidates._emit_pairs_block)."""
+    n = len(blk)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.flatnonzero(np.r_[True, blk[1:] != blk[:-1]])
+    counts = np.diff(np.r_[starts, n])
+    npairs = counts * (counts - 1) // 2
+    total = int(npairs.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # for each group: pairs (i, j) with start <= i < j < start+c, emitted as
+    # j-major runs: for j in [1, c): i in [0, j)
+    grp = np.repeat(np.arange(len(counts)), npairs)  # group of each pair
+    off = np.arange(total) - np.repeat(np.cumsum(npairs) - npairs, npairs)
+    # j = floor((1 + sqrt(1 + 8*off)) / 2), i = off - j*(j-1)/2
+    j = ((1.0 + np.sqrt(1.0 + 8.0 * off)) / 2.0).astype(np.int64)
+    # guard float edge: ensure tri(j) <= off < tri(j+1)
+    j -= (j * (j - 1) // 2) > off
+    j += (j * (j + 1) // 2) <= off
+    i = off - j * (j - 1) // 2
+    base = starts[grp]
+    return base + i, base + j
+
+
+def fuzzy_match_records(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float,
+    prefix_chars: int | None = 64,
+) -> "ray.data.Dataset":
+    """Blocked record-level JW matching → (id_a, id_b, jw), id_a < id_b.
+
+    ``ds`` must already carry the blocking key column (computed upstream in a
+    map_batches — keeps this operator free of per-domain string logic). Only
+    the first ``prefix_chars`` characters are scored (and should be all that
+    is shipped into the sort at corpus scale).
+    """
+
+    def _pairs(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "jw": pa.array([], pa.float64())}
+        )
+        if block.num_rows == 0:
+            return empty
+        blk = np.asarray(block.column(block_col).to_pylist(), dtype=object)
+        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        texts = block.column(text_col).to_pylist()
+        if prefix_chars is not None:
+            texts = [t[:prefix_chars] for t in texts]
+        # deterministic within-group order: ids ascending (the sort only
+        # guarantees block-key order; see the sorted_group_apply full-key rule)
+        order = np.lexsort((ids, blk))
+        blk, ids = blk[order], ids[order]
+        texts = [texts[int(k)] for k in order]
+        li, ri = _group_pairs(blk)
+        if len(li) == 0:
+            return empty
+        jw = jaro_winkler_pairs([texts[int(k)] for k in li], [texts[int(k)] for k in ri])
+        keep = jw >= threshold
+        return pa.table(
+            {"id_a": pa.array(ids[li[keep]], pa.int64()),
+             "id_b": pa.array(ids[ri[keep]], pa.int64()),
+             "jw": pa.array(jw[keep], pa.float64())}
+        )
+
+    return sorted_group_apply(ds, block_col, _pairs)
+
+
+def fuzzy_match_names(
+    ds: "ray.data.Dataset",
+    name_col: str,
+    block_of: Callable[[str], str],
+    threshold: float,
+) -> "ray.data.Dataset":
+    """Vocabulary-level JW matching → (name_a, name_b, jw), name_a < name_b.
+
+    Dedupes to DISTINCT names inside each batch BEFORE the sort (partial
+    dedup; the block fn re-dedupes across batches), so the sorted exchange
+    and the quadratic stage are sized by the name vocabulary, not the corpus
+    — per-source vocabularies are ~constant while corpora grow.
+    """
+
+    def _dedup(batch: pa.Table) -> pa.Table:
+        names = np.unique(np.asarray(batch.column(name_col).to_pylist(), dtype=object))
+        return pa.table(
+            {"name": pa.array(names, pa.string()),
+             "blk": pa.array([block_of(s) for s in names], pa.string())}
+        )
+
+    def _pairs(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"name_a": pa.array([], pa.string()), "name_b": pa.array([], pa.string()),
+             "jw": pa.array([], pa.float64())}
+        )
+        if block.num_rows == 0:
+            return empty
+        blk = np.asarray(block.column("blk").to_pylist(), dtype=object)
+        names = np.asarray(block.column("name").to_pylist(), dtype=object)
+        # cross-batch dedupe + deterministic order inside each block group
+        key = np.char.add(np.char.add(blk.astype(str), "\x00"), names.astype(str))
+        _, first = np.unique(key, return_index=True)
+        blk, names = blk[first], names[first]
+        order = np.lexsort((names, blk))
+        blk, names = blk[order], names[order]
+        li, ri = _group_pairs(blk)
+        if len(li) == 0:
+            return empty
+        jw = jaro_winkler_pairs(list(names[li]), list(names[ri]))
+        keep = jw >= threshold
+        return pa.table(
+            {"name_a": pa.array(names[li[keep]], pa.string()),
+             "name_b": pa.array(names[ri[keep]], pa.string()),
+             "jw": pa.array(jw[keep], pa.float64())}
+        )
+
+    deduped = ds.map_batches(_dedup, batch_format="pyarrow", batch_size=None)
+    return sorted_group_apply(deduped, "blk", _pairs)

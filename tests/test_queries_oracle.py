@@ -96,6 +96,25 @@ def test_sql_oracled_queries(entrymod, con):
     assert not failures, "\n".join(failures)
 
 
+def test_local_sql_oracled_queries(entrymod, con):
+    """Same gate as ``test_sql_oracled_queries`` for the queries whose
+    oracles do NOT fit in the driver's (full) 50-entry window — they live in
+    ``local_oracle_sql()`` instead of ``oracle_sql()``."""
+    qs = entrymod.queries()
+    locals_ = entrymod.local_oracle_sql()
+    assert set(locals_) <= set(qs)
+    assert not set(locals_) & set(entrymod.oracle_sql())
+    failures = []
+    for name, sql in locals_.items():
+        ray_df = _to_pandas(qs[name](SF_DIR))
+        sql_df = con.execute(sql).fetchdf()
+        try:
+            _compare(ray_df, sql_df, name)
+        except AssertionError as e:
+            failures.append(str(e))
+    assert not failures, "\n".join(failures)
+
+
 def test_oracled_queries_precede_unoracled(entrymod):
     """Driver-window invariant (VERDICT r3 #1): the driver's correctness
     snapshot covers only the FIRST 50 ``queries()`` entries, so every query
