@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "langid_docs",                 # r4: packed per-language ngram counters
     "fingerprint_docs",            # r4: winnowing fingerprints (rolling hash)
     "vocab_stats",                 # r4: distinct-token partials, no text shuffle
+    "fuzzy_match_parts",           # r4: blocked Jaro-Winkler ER (vocabulary grain)
+    "fuzzy_match_docs",            # r4: blocked Jaro-Winkler ER (record grain)
+    "orders_lineitem_join_bc",     # r4: broadcast hash join (third strategy)
 ]
 HEADLINE = "neardup_pages_bench"
 

@@ -113,13 +113,18 @@ def fuzzy_match_names(
     name_col: str,
     block_of: Callable[[str], str],
     threshold: float,
+    distribute: bool = False,
 ) -> "ray.data.Dataset":
     """Vocabulary-level JW matching → (name_a, name_b, jw), name_a < name_b.
 
-    Dedupes to DISTINCT names inside each batch BEFORE the sort (partial
-    dedup; the block fn re-dedupes across batches), so the sorted exchange
-    and the quadratic stage are sized by the name vocabulary, not the corpus
-    — per-source vocabularies are ~constant while corpora grow.
+    Dedupes to DISTINCT names inside each batch BEFORE any exchange (partial
+    dedup; the block fn re-dedupes across batches), so the pairwise stage is
+    sized by the name vocabulary, not the corpus — per-source vocabularies
+    are ~constant while corpora grow. Because the deduped table is
+    vocabulary-sized, the default exchange is a single ``repartition(1)``
+    coalesce (Ray's range-partitioned sort costs ~1.7 s in fixed
+    sample+barrier overhead regardless of size); pass ``distribute=True``
+    to spread the quadratic stage across blocks for six-figure vocabularies.
     """
 
     def _dedup(batch: pa.Table) -> pa.Table:
@@ -156,4 +161,8 @@ def fuzzy_match_names(
         )
 
     deduped = ds.map_batches(_dedup, batch_format="pyarrow", batch_size=None)
-    return sorted_group_apply(deduped, "blk", _pairs)
+    if distribute:
+        return sorted_group_apply(deduped, "blk", _pairs)
+    return deduped.repartition(1).map_batches(
+        _pairs, batch_format="pyarrow", batch_size=None
+    )

@@ -711,3 +711,91 @@ class TestCliStats:
         t = pq.read_table(out)
         assert t.num_rows == 50
         assert "n_tokens" in t.column_names
+
+
+class TestFuzzyStage:
+    def test_group_pairs_matches_naive(self):
+        from dedupe_ray.stages.fuzzy import _group_pairs
+
+        rng = np.random.default_rng(77)
+        for trial in range(30):
+            n = int(rng.integers(0, 60))
+            # sorted block column with groups of skewed sizes (incl. big ones)
+            blk = np.sort(rng.choice([b"a", b"b", b"c", b"dd"], size=n)).astype(object)
+            li, ri = _group_pairs(blk)
+            exp = {
+                (i, j)
+                for i in range(n)
+                for j in range(i + 1, n)
+                if blk[i] == blk[j]
+            }
+            assert set(zip(li.tolist(), ri.tolist())) == exp, trial
+            assert len(li) == len(exp)
+        # all-one-group edge (pure quadratic) and empty
+        li, ri = _group_pairs(np.asarray(["x"] * 25, dtype=object))
+        assert len(li) == 25 * 24 // 2
+        li, ri = _group_pairs(np.asarray([], dtype=object))
+        assert len(li) == 0
+
+    def test_fuzzy_match_names_matches_naive(self, ray_session):
+        import itertools
+
+        import ray.data
+
+        from dedupe_ray.functions.metrics import jaro_winkler
+        from dedupe_ray.stages.fuzzy import fuzzy_match_names
+
+        names = [
+            "ivory almond chocolate", "ivory almond chocolat",
+            "ivory almond chocolate", "midnight linen rose",
+            "midnight linnen rose", "goldenrod peach rose",
+            "azure plum steel", "azure plun steel", "azure plum steel",
+        ]
+        ds = ray.data.from_items([{"nm": s} for s in names]).repartition(3)
+        out = fuzzy_match_names(
+            ds, "nm", block_of=lambda s: s.rsplit(" ", 1)[-1], threshold=0.9
+        ).to_pandas()
+        got = {(a, b, round(j, 12)) for a, b, j in out.itertuples(index=False)}
+        # the distributed (sorted) path emits the identical pair set
+        out_d = fuzzy_match_names(
+            ds, "nm", block_of=lambda s: s.rsplit(" ", 1)[-1], threshold=0.9,
+            distribute=True,
+        ).to_pandas()
+        assert {(a, b, round(j, 12)) for a, b, j in out_d.itertuples(index=False)} == got
+        vocab = sorted(set(names))
+        exp = set()
+        for a, b in itertools.combinations(vocab, 2):
+            if a.rsplit(" ", 1)[-1] != b.rsplit(" ", 1)[-1]:
+                continue
+            jw = jaro_winkler(a, b)
+            if jw >= 0.9:
+                exp.add((a, b, round(jw, 12)))
+        assert got == exp and len(exp) > 0
+        # vocabulary dedupe: repeated names never pair with themselves
+        assert all(a != b for a, b, _ in got)
+
+    def test_fuzzy_match_records_prefix_and_ordering(self, ray_session):
+        import ray.data
+
+        from dedupe_ray.functions.metrics import jaro_winkler
+        from dedupe_ray.stages.fuzzy import fuzzy_match_records
+
+        rows = [
+            {"id": 7, "txt": "alpha beta gamma delta", "blk": "g1"},
+            {"id": 3, "txt": "alpha beta gamma delto", "blk": "g1"},
+            {"id": 9, "txt": "alpha beta gamma deltaXXXX", "blk": "g1"},
+            {"id": 1, "txt": "totally different words", "blk": "g2"},
+            {"id": 2, "txt": "totally different wordz", "blk": "g2"},
+        ]
+        ds = ray.data.from_items(rows).repartition(2)
+        out = fuzzy_match_records(
+            ds, "id", "txt", "blk", threshold=0.5, prefix_chars=22
+        ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        # pairs are scored on the 22-char prefix: id 9's long tail is invisible
+        exp = []
+        for a, b in [(3, 7), (3, 9), (7, 9), (1, 2)]:
+            ta = next(r["txt"][:22] for r in rows if r["id"] == a)
+            tb = next(r["txt"][:22] for r in rows if r["id"] == b)
+            exp.append((a, b, jaro_winkler(ta, tb)))
+        assert list(map(tuple, out.itertuples(index=False))) == sorted(exp)
+        assert (out.id_a < out.id_b).all()
