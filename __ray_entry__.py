@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_parts": Q.fuzzy_match_parts,
         "fuzzy_match_docs": Q.fuzzy_match_docs,
         "orders_lineitem_join_bc": Q.orders_lineitem_join_bc,
+        "decontaminate_docs": Q.decontaminate_docs,
+        "tfidf_top_terms": Q.tfidf_top_terms,
     }
 
 
@@ -619,5 +621,40 @@ def local_oracle_sql() -> dict[str, str]:
         "orders_lineitem_join_bc": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "decontaminate_docs": (
+            # word-3-gram eval-set overlap; ngram CTE = the minhash-audit
+            # shingle construction; n_hits counts OCCURRENCES, so the flat
+            # (non-distinct) ngram list is scored against the DISTINCT eval set
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "ng AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g "
+            "FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), "
+            "ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 100 = 0), "
+            "cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams, "
+            "CAST(count(*) FILTER (WHERE g IN (SELECT g FROM ev)) AS BIGINT) "
+            "AS n_hits FROM ng GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(n_ngrams, 0) AS n_ngrams, "
+            "COALESCE(n_hits, 0) AS n_hits, "
+            "CAST(d.doc_id % 100 = 0 AS BIGINT) AS is_eval "
+            "FROM documents d LEFT JOIN cnt USING (doc_id)"
+        ),
+        "tfidf_top_terms": (
+            # fixed-point linear-idf tf-idf: score_fp = tf * 2^20 // df is
+            # exact BIGINT arithmetic in both engines; top-5 per doc by
+            # (score desc, token asc) via row_number
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok GROUP BY doc_id, t), "
+            "df AS (SELECT token, CAST(count(*) AS BIGINT) AS df "
+            "FROM tf GROUP BY token) "
+            "SELECT doc_id, token, tf, df, score_fp FROM ("
+            "SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+            "tf.tf * 1048576 // df.df AS score_fp, "
+            "row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf * 1048576 // df.df DESC, tf.token) AS rk "
+            "FROM tf JOIN df USING (token)) WHERE rk <= 5"
         ),
     }

@@ -2634,3 +2634,162 @@ def orders_lineitem_join_bc(sf_dir: str):
 
     li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
     return li.map_batches(_join, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# r4: benchmark decontamination + tf-idf keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_docs(sf_dir: str, n: int = 3, eval_mod: int = 100):
+    """Benchmark decontamination: flag training documents that share word
+    ``n``-grams with a held-out eval set (here: docs with
+    ``doc_id % eval_mod == 0``, standing in for a benchmark suite). The eval
+    n-gram set is built distributed (per-batch distinct partials), merged on
+    the driver — eval sets are benchmark-sized by definition, MBs not TBs —
+    and broadcast ONCE via ``ray.put``; the corpus then streams through one
+    vectorized membership pass (np.isin + per-doc reduceat, the oov_rate
+    shape). At 100 TB the set would hold 8-byte ngram hashes (the
+    md5_number_upper audit path); strings keep the oracle byte-exact here.
+    ``n_hits`` counts ngram OCCURRENCES (not distinct) in the eval set."""
+    import re
+
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _ngrams_of(text: str) -> list[str]:
+        toks = pat.findall((text or "").lower())
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    def _eval_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        grams: set[str] = set()
+        for i in np.flatnonzero(ids % eval_mod == 0):
+            grams.update(_ngrams_of(batch.column("text")[int(i)].as_py()))
+        return pa.table({"ngram": pa.array(sorted(grams), pa.string())})
+
+    parts = docs.map_batches(_eval_partial, batch_format="pyarrow", batch_size=None)
+    eval_tbl = pa.concat_tables(
+        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    eval_set = np.unique(np.asarray(eval_tbl.column("ngram").to_pylist()))
+    ref = ray.put(eval_set)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ev = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        gram_lists = [_ngrams_of(t) for t in batch.column("text").to_pylist()]
+        lens = np.fromiter((len(g) for g in gram_lists), np.int64, count=len(gram_lists))
+        flat: list[str] = []
+        for gl in gram_lists:
+            flat.extend(gl)
+        hits = np.zeros(len(lens), np.int64)
+        nonempty = lens > 0
+        if flat and len(ev) and nonempty.any():
+            in_ev = np.isin(np.asarray(flat), ev).astype(np.int64)
+            starts = np.r_[0, np.cumsum(lens)][:-1][nonempty]
+            hits[nonempty] = np.add.reduceat(in_ev, starts)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_ngrams": pa.array(lens, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+                "is_eval": pa.array((ids % eval_mod == 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow", batch_size=None)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5, scale: int = 1 << 20):
+    """Per-document top-``k`` keywords by tf-idf with a LINEAR idf (score ∝
+    tf/df), emitted as the exact fixed-point integer
+    ``score_fp = tf * scale // df`` so the DuckDB oracle is bit-identical
+    (CLAUDE.md float rule: no multi-term float reductions in hash-compared
+    columns; linear idf ranks like tf·(N/df) for fixed N). Shape: per-batch
+    DISTINCT (token, doc) partials (a doc lives in one batch, so per-batch
+    distinct is globally distinct) → distributed ``groupby(token).count()``
+    = document frequency — the only shuffle, vocabulary-sized rows — df map
+    broadcast once; the scoring pass computes per-(doc, token) tf with one
+    lexsort + run-length pass and selects top-k per doc by
+    (score desc, token asc) with group-offset arithmetic, no per-doc loop."""
+    import re
+
+    from ray.data.aggregate import Count
+
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks: list[str] = []
+        out_ids: list[int] = []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            tl = sorted(set(pat.findall((t or "").lower())))
+            toks.extend(tl)
+            out_ids.extend([int(ids[i])] * len(tl))
+        return pa.table(
+            {"token": pa.array(toks, pa.string()),
+             "doc_id": pa.array(out_ids, pa.int64())}
+        )
+
+    dfds = (
+        docs.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby("token")
+        .aggregate(Count(alias_name="df"))
+    )
+    df_tbl = pa.concat_tables(
+        list(dfds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    vocab = np.asarray(df_tbl.column("token").to_pylist())
+    dfv = df_tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vocab, kind="stable")
+    ref = ray.put((vocab[order], dfv[order]))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        v, dfa = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        tok_lists = [
+            pat.findall((t or "").lower()) for t in batch.column("text").to_pylist()
+        ]
+        lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(tok_lists))
+        flat: list[str] = []
+        for tl in tok_lists:
+            flat.extend(tl)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "token": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64()), "df": pa.array([], pa.int64()),
+             "score_fp": pa.array([], pa.int64())}
+        )
+        if not flat:
+            return empty
+        toks = np.asarray(flat)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        # tf per (doc, token): lexsort then run-length over adjacent equality
+        o = np.lexsort((toks, doc_idx))
+        toks, doc_idx = toks[o], doc_idx[o]
+        new = np.r_[True, (doc_idx[1:] != doc_idx[:-1]) | (toks[1:] != toks[:-1])]
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.r_[starts, len(toks)]).astype(np.int64)
+        ptok, pdoc = toks[starts], doc_idx[starts]
+        pdf = dfa[np.searchsorted(v, ptok)]
+        score = tf * np.int64(scale) // pdf
+        # top-k per doc: (doc, -score, token) order + group-offset ranks
+        o2 = np.lexsort((ptok, -score, pdoc))
+        pdoc2 = pdoc[o2]
+        gstart = np.flatnonzero(np.r_[True, pdoc2[1:] != pdoc2[:-1]])
+        rank = np.arange(len(pdoc2)) - np.repeat(
+            gstart, np.diff(np.r_[gstart, len(pdoc2)])
+        )
+        keep = o2[rank < k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[pdoc[keep]], pa.int64()),
+                "token": pa.array(ptok[keep].tolist(), pa.string()),
+                "tf": pa.array(tf[keep], pa.int64()),
+                "df": pa.array(pdf[keep], pa.int64()),
+                "score_fp": pa.array(score[keep], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow", batch_size=None)
