@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join_bc": Q.orders_lineitem_join_bc,
         "decontaminate_docs": Q.decontaminate_docs,
         "tfidf_top_terms": Q.tfidf_top_terms,
+        "events_props_extract": Q.events_props_extract,
+        "events_value_quantiles": Q.events_value_quantiles,
+        "events_cumulative": Q.events_cumulative,
     }
 
 
@@ -656,5 +659,29 @@ def local_oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY tf.doc_id "
             "ORDER BY tf.tf * 1048576 // df.df DESC, tf.token) AS rk "
             "FROM tf JOIN df USING (token)) WHERE rk <= 5"
+        ),
+        "events_props_extract": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) FILTER (WHERE k IS NULL) AS BIGINT) AS n_null, "
+            "CAST(COALESCE(sum(k), 0) AS BIGINT) AS sum_k, "
+            "min(k) AS min_k, max(k) AS max_k "
+            "FROM e GROUP BY event_type"
+        ),
+        "events_value_quantiles": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, "
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90, "
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99 "
+            "FROM events GROUP BY event_type"
+        ),
+        "events_cumulative": (
+            "SELECT event_id, user_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS cum_n, "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w "
+            "AS BIGINT) AS cum_cents FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)"
         ),
     }

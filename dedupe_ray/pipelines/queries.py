@@ -2793,3 +2793,157 @@ def tfidf_top_terms(sf_dir: str, k: int = 5, scale: int = 1 << 20):
         )
 
     return docs.map_batches(_score, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# r4: semi-structured extraction, exact distributed quantiles, running totals
+# ---------------------------------------------------------------------------
+
+
+def events_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of the
+    ``props`` JSON-string column with ONE vectorized RE2-safe
+    ``pc.extract_regex`` per batch (no per-row json.loads), then aggregate
+    per event_type from per-batch integer partials — flat-JSON field
+    extraction is a regex kernel, which keeps the hot path in Arrow."""
+    ds = read_table(sf_dir, "events", ["event_type", "props"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>\d+)')
+        k = pc.struct_field(ext, "k")
+        kn = np.asarray(pc.cast(k, pa.int64()).fill_null(0).to_numpy(zero_copy_only=False))
+        present = np.asarray(pc.is_valid(k).to_numpy(zero_copy_only=False))
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        o = np.argsort(et, kind="stable")
+        et, kn, present = et[o], kn[o], present[o]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        seg = np.diff(np.r_[starts, len(et)])
+        sum_k = np.add.reduceat(np.where(present, kn, 0), starts)
+        n_null = np.add.reduceat((~present).astype(np.int64), starts)
+        # min/max over present-only: neutral fill values
+        mn = np.minimum.reduceat(np.where(present, kn, np.iinfo(np.int64).max), starts)
+        mx = np.maximum.reduceat(np.where(present, kn, np.iinfo(np.int64).min), starts)
+        return pa.table(
+            {"event_type": pa.array(et[starts].tolist(), pa.string()),
+             "n": pa.array(seg.astype(np.int64), pa.int64()),
+             "n_null": pa.array(n_null, pa.int64()),
+             "sum_k": pa.array(sum_k, pa.int64()),
+             "min_k": pa.array(mn, pa.int64()),
+             "max_k": pa.array(mx, pa.int64())}
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables(
+        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    # driver merge over (types × blocks) partial rows only
+    et = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+    o = np.argsort(et, kind="stable")
+    starts = np.flatnonzero(np.r_[True, et[o][1:] != et[o][:-1]])
+    cols = {}
+    for name, fn in [("n", np.add), ("n_null", np.add), ("sum_k", np.add),
+                     ("min_k", np.minimum), ("max_k", np.maximum)]:
+        cols[name] = fn.reduceat(tbl.column(name).to_numpy(zero_copy_only=False)[o], starts)
+    return pa.table(
+        {"event_type": pa.array(et[o][starts].tolist(), pa.string()),
+         **{k: pa.array(v, pa.int64()) for k, v in cols.items()}}
+    )
+
+
+def events_value_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (p50/p90/p99 of ``value`` per event_type)
+    via mergeable value-histograms: each batch emits (event_type, value,
+    count) partials — 2-decimal metric columns have bounded distinct values,
+    the classic exact-histogram regime — the driver merges only
+    types × distinct-values rows, cumsums each type's sorted histogram and
+    selects ``percentile_disc`` positions (smallest value whose cumulative
+    count ≥ ⌈p·n⌉). Values pass through untouched (no float arithmetic), so
+    the result is bit-identical to DuckDB's PERCENTILE_DISC."""
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, et))
+        et, v = et[o], v[o]
+        starts = np.flatnonzero(np.r_[True, (et[1:] != et[:-1]) | (v[1:] != v[:-1])])
+        cnt = np.diff(np.r_[starts, len(et)]).astype(np.int64)
+        return pa.table(
+            {"event_type": pa.array(et[starts].tolist(), pa.string()),
+             "value": pa.array(v[starts], pa.float64()),
+             "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables(
+        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    et = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+    v = tbl.column("value").to_numpy(zero_copy_only=False)
+    c = tbl.column("cnt").to_numpy(zero_copy_only=False)
+    o = np.lexsort((v, et))
+    et, v, c = et[o], v[o], c[o]
+    merge = np.flatnonzero(np.r_[True, (et[1:] != et[:-1]) | (v[1:] != v[:-1])])
+    c = np.add.reduceat(c, merge)
+    et, v = et[merge], v[merge]
+    gstart = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+    out = {"event_type": [], "n": [], "p50": [], "p90": [], "p99": []}
+    bounds = np.r_[gstart, len(et)]
+    for gi in range(len(gstart)):
+        lo, hi = bounds[gi], bounds[gi + 1]
+        cum = np.cumsum(c[lo:hi])
+        n = int(cum[-1])
+        out["event_type"].append(et[lo])
+        out["n"].append(n)
+        for p, key in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            idx = int(np.searchsorted(cum, int(np.ceil(p * n)), side="left"))
+            out[key].append(float(v[lo + idx]))
+    return pa.table(
+        {"event_type": pa.array(out["event_type"], pa.string()),
+         "n": pa.array(out["n"], pa.int64()),
+         "p50": pa.array(out["p50"], pa.float64()),
+         "p90": pa.array(out["p90"], pa.float64()),
+         "p99": pa.array(out["p99"], pa.float64())}
+    )
+
+
+def events_cumulative(sf_dir: str):
+    """Running totals per user (cumulative window function): for every event,
+    the count and sum-of-cents of that user's events up to and including it,
+    ordered by (ts, event_id). Cents = ``floor(value*100 + 0.5)`` — two
+    single IEEE ops identical in both engines — so the running sum is exact
+    integer math. One single-key range partition on user_id; the in-block
+    per-user ordering and cumulative pass are vectorized (lexsort + cumsum
+    minus group-start offsets)."""
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _cum(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"event_id": pa.array([], pa.int64()), "user_id": pa.array([], pa.int64()),
+             "cum_n": pa.array([], pa.int64()), "cum_cents": pa.array([], pa.int64())}
+        )
+        if block.num_rows == 0:
+            return empty
+        eid = block.column("event_id").to_numpy(zero_copy_only=False)
+        uid = block.column("user_id").to_numpy(zero_copy_only=False)
+        ts = block.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(
+            block.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        o = np.lexsort((eid, ts, uid))
+        eid, uid, cents = eid[o], uid[o], cents[o]
+        gstart = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        glen = np.diff(np.r_[gstart, len(uid)])
+        pos = np.arange(len(uid)) - np.repeat(gstart, glen)
+        run = np.cumsum(cents)
+        base = np.repeat(run[gstart] - cents[gstart], glen)
+        return pa.table(
+            {"event_id": pa.array(eid, pa.int64()),
+             "user_id": pa.array(uid, pa.int64()),
+             "cum_n": pa.array(pos + 1, pa.int64()),
+             "cum_cents": pa.array(run - base, pa.int64())}
+        )
+
+    return sorted_group_apply(ds, "user_id", _cum)
