@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "fuzzy_match_parts",           # r4: blocked Jaro-Winkler ER (vocabulary grain)
     "fuzzy_match_docs",            # r4: blocked Jaro-Winkler ER (record grain)
     "orders_lineitem_join_bc",     # r4: broadcast hash join (third strategy)
+    "tfidf_top_terms",             # r4: tf-idf keywords (df shuffle + broadcast)
+    "decontaminate_docs",          # r4: eval-ngram membership pass
+    "events_value_quantiles",      # r4: exact quantiles via histogram partials
+    "events_props_extract",        # r4: semi-structured (JSON-ish) extraction
+    "events_cumulative",           # r4: per-user running totals (sorted scan)
 ]
 HEADLINE = "neardup_pages_bench"
 
