@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": Q.events_props_extract,
         "events_value_quantiles": Q.events_value_quantiles,
         "events_cumulative": Q.events_cumulative,
+        "canonical_url_dedup": Q.canonical_url_dedup,
+        "customers_without_urgent_orders": Q.customers_without_urgent_orders,
     }
 
 
@@ -683,5 +685,60 @@ def local_oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS cum_cents FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING)"
+        ),
+        "canonical_url_dedup": (
+            # replay the FULL canonicalizer over the same synthesized messy
+            # urls (scheme/host case, www., default ports, trailing slash,
+            # tracking params, param sort, fragments) — see
+            # pipelines/queries.py canonical_url_dedup for the rule list
+            "WITH m AS (SELECT doc_id, "
+            "(CASE WHEN (doc_id // 3) % 2 = 0 THEN 'HTTP' ELSE 'https' END) "
+            "|| '://' || "
+            "(CASE doc_id % 3 WHEN 0 THEN 'WWW.src' || ((doc_id // 3) % 7) "
+            "|| '.Example.COM' "
+            "WHEN 1 THEN upper('src' || ((doc_id // 3) % 7)) || '.example.com' "
+            "ELSE 'src' || ((doc_id // 3) % 7) || '.EXAMPLE.com' END) || "
+            "(CASE WHEN doc_id % 5 = 0 THEN "
+            "(CASE WHEN (doc_id // 3) % 2 = 0 THEN ':80' ELSE ':443' END) "
+            "ELSE '' END) || "
+            "'/docs/' || (doc_id // 3) || "
+            "(CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) || "
+            "(CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&id=' || (doc_id // 3) "
+            "WHEN 1 THEN '?id=' || (doc_id // 3) || '&utm_campaign=x' "
+            "ELSE '?b=2&id=' || (doc_id // 3) END) || "
+            "(CASE WHEN doc_id % 2 = 1 THEN '#sec' ELSE '' END) AS url "
+            "FROM documents), "
+            "st AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag "
+            "FROM m), "
+            "pieces AS (SELECT doc_id, "
+            "lower(regexp_extract(nofrag, '^([^:]+)://', 1)) AS scheme, "
+            "regexp_replace(nofrag, '^[^:]+://', '') AS rest FROM st), "
+            "hp AS (SELECT *, regexp_replace("
+            "lower(regexp_extract(rest, '^([^/?#]*)', 1)), '^www\.', '') "
+            "AS hostport, regexp_replace(rest, '^[^/?#]*', '') AS pathq "
+            "FROM pieces), "
+            "norm AS (SELECT doc_id, scheme, "
+            "(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '') "
+            "WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '') "
+            "ELSE hostport END) AS host, "
+            "(CASE WHEN regexp_replace(regexp_replace(pathq, '\?.*$', ''), "
+            "'(.+)/$', '\\1') = '' THEN '/' ELSE "
+            "regexp_replace(regexp_replace(pathq, '\?.*$', ''), '(.+)/$', '\\1') "
+            "END) AS path, "
+            "array_to_string(list_sort(list_filter("
+            "string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'), "
+            "x -> x <> '' AND NOT starts_with(x, 'utm_') "
+            "AND NOT starts_with(x, 'fbclid') AND NOT starts_with(x, 'gclid')"
+            ")), '&') AS canon_q FROM hp), "
+            "canon AS (SELECT doc_id, scheme || '://' || host || path || "
+            "(CASE WHEN canon_q = '' THEN '' ELSE '?' || canon_q END) "
+            "AS canonical_url FROM norm) "
+            "SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups, "
+            "min(doc_id) AS keep_id FROM canon GROUP BY canonical_url"
+        ),
+        "customers_without_urgent_orders": (
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')"
         ),
     }

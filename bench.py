@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "events_value_quantiles",      # r4: exact quantiles via histogram partials
     "events_props_extract",        # r4: semi-structured (JSON-ish) extraction
     "events_cumulative",           # r4: per-user running totals (sorted scan)
+    "canonical_url_dedup",         # r4: vectorized URL canonicalization dedup
+    "customers_without_urgent_orders",  # r4: broadcast anti-join
 ]
 HEADLINE = "neardup_pages_bench"
 

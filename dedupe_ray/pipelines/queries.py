@@ -2947,3 +2947,190 @@ def events_cumulative(sf_dir: str):
         )
 
     return sorted_group_apply(ds, "user_id", _cum)
+
+
+# ---------------------------------------------------------------------------
+# r4: URL canonicalization dedup + anti-join
+# ---------------------------------------------------------------------------
+
+
+def canonical_url_dedup(sf_dir: str):
+    """First-stage web dedup: canonicalize URLs, then keep-first per
+    canonical URL — the stage every Common-Crawl-style pipeline runs BEFORE
+    content hashing (CCNet §3.1 fetches each url once; the reference dedups
+    file paths the same way via its path walk, ``main.go`` FindImages).
+
+    The documents table carries no url column, so a messy URL is synthesized
+    deterministically from ``(source, doc_id)`` in BOTH engines (the audit
+    recipe from CLAUDE.md: the kernel under test is the canonicalizer, which
+    both engines replay over identical inputs). Variants exercise every
+    rule: scheme/host case, ``www.`` prefix, explicit default ports,
+    trailing slash, tracking params (``utm_*``), param order, fragments.
+
+    Canonicalization is fully vectorized Arrow — regex splits
+    (``pc.extract_regex`` / ``replace_substring_regex``), param lists via
+    ``split_pattern`` → ``list_parent_indices`` → one lexsort →
+    ``pc.binary_join`` — no per-row Python. The dedup itself is the
+    exact-dedup shape: per-batch partial (url, count, min-id) rows collapse
+    before the single vocabulary-sized shuffle (groupby canonical_url).
+
+    Rules (RFC 3986 normalization + tracker strip):
+      lowercase scheme+host · strip ``www.`` · strip default port
+      (80/http, 443/https) · drop fragment · drop ``utm_*``/``fbclid``/
+      ``gclid`` params · sort surviving params · strip trailing slash
+      (except root) · empty path → ``/``.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+
+    def _messy_urls(ids: np.ndarray) -> pa.Array:
+        g = ids // 3
+        variant = ids % 3
+        scheme = np.where(g % 2 == 0, "HTTP", "https")
+        # host derives from the GROUP id (g), not the doc's own source —
+        # variants of one logical page must collide after canonicalization
+        src = np.char.add("src", (g % 7).astype(str))
+        host = np.select(
+            [variant == 0, variant == 1],
+            [
+                np.char.add(np.char.add("WWW.", src), ".Example.COM"),
+                np.char.add(np.char.upper(src), ".example.com"),
+            ],
+            np.char.add(src, ".EXAMPLE.com"),
+        )
+        port = np.where(
+            ids % 5 == 0, np.where(g % 2 == 0, ":80", ":443"), ""
+        )
+        gs = g.astype(str)
+        path = np.char.add("/docs/", gs)
+        path = np.where(ids % 4 == 0, np.char.add(path, "/"), path)
+        query = np.select(
+            [variant == 0, variant == 1],
+            [
+                np.char.add("?utm_source=feed&id=", gs),
+                np.char.add(np.char.add("?id=", gs), "&utm_campaign=x"),
+            ],
+            np.char.add("?b=2&id=", gs),
+        )
+        frag = np.where(ids % 2 == 1, "#sec", "")
+        out = np.char.add(scheme, "://")
+        for part in (host, port, path, query, frag):
+            out = np.char.add(out, part)
+        return pa.array(out.tolist(), pa.string())
+
+    def canonicalize(url: pa.Array) -> pa.Array:
+        """Vectorized URL canonicalizer (public API of this operator)."""
+        nofrag = pc.replace_substring_regex(url, "#.*$", "")
+        scheme = pc.utf8_lower(
+            pc.struct_field(pc.extract_regex(nofrag, "^(?P<s>[^:]+)://"), "s")
+        )
+        rest = pc.replace_substring_regex(nofrag, "^[^:]+://", "")
+        hostport = pc.utf8_lower(
+            pc.struct_field(pc.extract_regex(rest, "^(?P<h>[^/?#]*)"), "h")
+        )
+        hostport = pc.replace_substring_regex(hostport, r"^www\.", "")
+        host = pc.if_else(
+            pc.equal(scheme, "http"),
+            pc.replace_substring_regex(hostport, ":80$", ""),
+            pc.if_else(
+                pc.equal(scheme, "https"),
+                pc.replace_substring_regex(hostport, ":443$", ""),
+                hostport,
+            ),
+        )
+        pathq = pc.replace_substring_regex(rest, "^[^/?#]*", "")
+        path = pc.replace_substring_regex(pathq, r"\?.*$", "")
+        path = pc.replace_substring_regex(path, "(.+)/$", r"\1")
+        path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+        q = pc.struct_field(pc.extract_regex(pathq, r"\?(?P<q>.*)$"), "q")
+        q = q.fill_null("")
+        params = pc.split_pattern(q, "&")
+        flat = pc.list_flatten(params)
+        parent = pc.list_parent_indices(params).to_numpy(zero_copy_only=False)
+        keep = pc.and_(
+            pc.invert(pc.equal(flat, "")),
+            pc.invert(
+                pc.or_(
+                    pc.starts_with(flat, "utm_"),
+                    pc.or_(
+                        pc.starts_with(flat, "fbclid"),
+                        pc.starts_with(flat, "gclid"),
+                    ),
+                )
+            ),
+        ).to_numpy(zero_copy_only=False)
+        vals = np.asarray(flat.to_pylist(), dtype=object)[keep]
+        par = parent[keep]
+        o = np.lexsort((vals, par))
+        vals, par = vals[o], par[o]
+        counts = np.bincount(par, minlength=len(url)).astype(np.int64)
+        offsets = pa.array(np.r_[0, np.cumsum(counts)], pa.int32())
+        canon_q = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, pa.array(vals.tolist(), pa.string())),
+            "&",
+        )
+        qpart = pc.if_else(
+            pc.equal(canon_q, ""), pa.scalar(""), pc.binary_join_element_wise("?", canon_q, "")
+        )
+        return pc.binary_join_element_wise(scheme, "://", host, path, qpart, "")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        canon = canonicalize(_messy_urls(ids))
+        cu = np.asarray(canon.to_pylist(), dtype=object)
+        uniq, inv = np.unique(cu, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        mn = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(mn, inv, ids)
+        return pa.table(
+            {"canonical_url": pa.array(uniq.tolist(), pa.string()),
+             "p_cnt": pa.array(cnt, pa.int64()),
+             "p_min": pa.array(mn, pa.int64())}
+        )
+
+    return (
+        docs.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("canonical_url")
+        .aggregate(
+            Sum("p_cnt", alias_name="n_dups"), Min("p_min", alias_name="keep_id")
+        )
+    )
+
+
+def customers_without_urgent_orders(sf_dir: str):
+    """Anti-join: customers with NO ``1-URGENT`` order (`NOT EXISTS`) — the
+    relational shape behind blocklist filtering ("drop documents whose key
+    appears in the removal list"). The right side is predicate-filtered in
+    the same batch pass that collapses it to DISTINCT keys via per-batch
+    unique partials (8-byte keys, so even a 10^9-order corpus partials down
+    to the distinct-customer set), the driver merges the bounded partials
+    and broadcasts ONCE via ``ray.put``; the left side streams through one
+    vectorized ``np.isin`` mask per batch. When the distinct-key set exceeds
+    worker memory at 100 TB, the fallback is the verify_edges_join shape:
+    hash-partition BOTH sides on the key and anti-join per partition
+    (SCALE.md broadcast-vs-shuffle rule)."""
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def _keys(batch: pa.Table) -> pa.Table:
+        sel = pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        ck = batch.column("o_custkey").filter(sel)
+        u = np.unique(ck.to_numpy(zero_copy_only=False))
+        return pa.table({"k": pa.array(u, pa.int64())})
+
+    parts = orders.map_batches(_keys, batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables(
+        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    keys = np.unique(tbl.column("k").to_numpy(zero_copy_only=False))
+    ref = ray.put(keys)
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def _anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ck, ks)
+        return batch.filter(pa.array(mask))
+
+    return cust.map_batches(_anti, batch_format="pyarrow", batch_size=None)
