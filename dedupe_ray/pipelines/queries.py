@@ -3019,65 +3019,11 @@ def canonical_url_dedup(sf_dir: str):
             out = np.char.add(out, part)
         return pa.array(out.tolist(), pa.string())
 
-    def canonicalize(url: pa.Array) -> pa.Array:
-        """Vectorized URL canonicalizer (public API of this operator)."""
-        nofrag = pc.replace_substring_regex(url, "#.*$", "")
-        scheme = pc.utf8_lower(
-            pc.struct_field(pc.extract_regex(nofrag, "^(?P<s>[^:]+)://"), "s")
-        )
-        rest = pc.replace_substring_regex(nofrag, "^[^:]+://", "")
-        hostport = pc.utf8_lower(
-            pc.struct_field(pc.extract_regex(rest, "^(?P<h>[^/?#]*)"), "h")
-        )
-        hostport = pc.replace_substring_regex(hostport, r"^www\.", "")
-        host = pc.if_else(
-            pc.equal(scheme, "http"),
-            pc.replace_substring_regex(hostport, ":80$", ""),
-            pc.if_else(
-                pc.equal(scheme, "https"),
-                pc.replace_substring_regex(hostport, ":443$", ""),
-                hostport,
-            ),
-        )
-        pathq = pc.replace_substring_regex(rest, "^[^/?#]*", "")
-        path = pc.replace_substring_regex(pathq, r"\?.*$", "")
-        path = pc.replace_substring_regex(path, "(.+)/$", r"\1")
-        path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
-        q = pc.struct_field(pc.extract_regex(pathq, r"\?(?P<q>.*)$"), "q")
-        q = q.fill_null("")
-        params = pc.split_pattern(q, "&")
-        flat = pc.list_flatten(params)
-        parent = pc.list_parent_indices(params).to_numpy(zero_copy_only=False)
-        keep = pc.and_(
-            pc.invert(pc.equal(flat, "")),
-            pc.invert(
-                pc.or_(
-                    pc.starts_with(flat, "utm_"),
-                    pc.or_(
-                        pc.starts_with(flat, "fbclid"),
-                        pc.starts_with(flat, "gclid"),
-                    ),
-                )
-            ),
-        ).to_numpy(zero_copy_only=False)
-        vals = np.asarray(flat.to_pylist(), dtype=object)[keep]
-        par = parent[keep]
-        o = np.lexsort((vals, par))
-        vals, par = vals[o], par[o]
-        counts = np.bincount(par, minlength=len(url)).astype(np.int64)
-        offsets = pa.array(np.r_[0, np.cumsum(counts)], pa.int32())
-        canon_q = pc.binary_join(
-            pa.ListArray.from_arrays(offsets, pa.array(vals.tolist(), pa.string())),
-            "&",
-        )
-        qpart = pc.if_else(
-            pc.equal(canon_q, ""), pa.scalar(""), pc.binary_join_element_wise("?", canon_q, "")
-        )
-        return pc.binary_join_element_wise(scheme, "://", host, path, qpart, "")
-
     def _partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        canon = canonicalize(_messy_urls(ids))
+        from dedupe_ray.functions.urlnorm import canonicalize_urls
+
+        canon = canonicalize_urls(_messy_urls(ids))
         cu = np.asarray(canon.to_pylist(), dtype=object)
         uniq, inv = np.unique(cu, return_inverse=True)
         cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)

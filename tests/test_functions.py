@@ -468,3 +468,99 @@ class TestHll:
         h = np.arange(1, 101, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         sk.add_hashes(h)
         assert abs(sk.estimate() - 100) < 10
+
+
+class TestUrlNorm:
+    def _one(self, u):
+        import pyarrow as pa
+
+        from dedupe_ray.functions.urlnorm import canonicalize_urls
+
+        return canonicalize_urls(pa.array([u], pa.string()))[0].as_py()
+
+    def test_case_www_port_fragment(self):
+        assert (
+            self._one("HTTP://WWW.Ex.COM:80/A/b/#frag")
+            == "http://ex.com/A/b"
+        )
+
+    def test_https_default_port(self):
+        assert self._one("https://a.com:443/x") == "https://a.com/x"
+
+    def test_non_default_port_kept(self):
+        assert self._one("http://a.com:8080/x") == "http://a.com:8080/x"
+
+    def test_path_case_preserved(self):
+        assert self._one("http://A.com/CaseSensitive") == "http://a.com/CaseSensitive"
+
+    def test_tracking_params_stripped_and_sorted(self):
+        assert (
+            self._one("http://a.com/p?z=1&utm_source=x&a=2&fbclid=abc&gclid=9")
+            == "http://a.com/p?a=2&z=1"
+        )
+
+    def test_all_params_tracking(self):
+        assert self._one("http://a.com/p?utm_a=1&utm_b=2") == "http://a.com/p"
+
+    def test_empty_path_becomes_root(self):
+        assert self._one("http://a.com") == "http://a.com/"
+        assert self._one("http://a.com/") == "http://a.com/"
+
+    def test_query_without_path(self):
+        assert self._one("http://a.com?b=2&a=1") == "http://a.com/?a=1&b=2"
+
+    def test_unparseable_passthrough_and_null(self):
+        import pyarrow as pa
+
+        from dedupe_ray.functions.urlnorm import canonicalize_urls
+
+        out = canonicalize_urls(pa.array(["not a url", None], pa.string()))
+        assert out[0].as_py() == "not a url"
+        assert out[1].as_py() is None
+
+    def test_idempotent(self):
+        u = "HTTPS://WWW.B.com:443/d/?utm_x=1&b=2&a=1#s"
+        once = self._one(u)
+        assert self._one(once) == once
+
+    def test_matches_stdlib_reference(self):
+        # cross-check against a scalar urllib-based canonicalizer on a grid
+        # of synthetic urls covering every rule combination
+        from urllib.parse import urlsplit
+
+        import pyarrow as pa
+
+        from dedupe_ray.functions.urlnorm import canonicalize_urls
+
+        def scalar(u):
+            sp = urlsplit(u)
+            scheme = sp.scheme.lower()
+            host = sp.netloc.lower()
+            if host.startswith("www."):
+                host = host[4:]
+            if scheme == "http" and host.endswith(":80"):
+                host = host[:-3]
+            if scheme == "https" and host.endswith(":443"):
+                host = host[:-4]
+            path = sp.path
+            if path.endswith("/") and len(path) > 1:
+                path = path[:-1]
+            path = path or "/"
+            params = sorted(
+                p
+                for p in sp.query.split("&")
+                if p and not p.startswith(("utm_", "fbclid", "gclid"))
+            )
+            q = "&".join(params)
+            return scheme + "://" + host + path + ("?" + q if q else "")
+
+        urls = []
+        for scheme in ("http", "HTTPS"):
+            for host in ("WWW.A.com", "b.Org:80", "c.net:443", "d.io:9"):
+                for path in ("", "/", "/X/y/", "/z"):
+                    for q in ("", "?utm_s=1", "?b=2&a=1&utm_c=3", "?k=v"):
+                        for f in ("", "#frag"):
+                            urls.append(f"{scheme}://{host}{path}{q}{f}")
+        got = canonicalize_urls(pa.array(urls, pa.string())).to_pylist()
+        want = [scalar(u) for u in urls]
+        assert got == want
