@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative": Q.events_cumulative,
         "canonical_url_dedup": Q.canonical_url_dedup,
         "customers_without_urgent_orders": Q.customers_without_urgent_orders,
+        "top_tokens_mg": Q.top_tokens_mg,
     }
 
 
@@ -740,5 +741,11 @@ def local_oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_mktsegment FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')"
+        ),        "top_tokens_mg": (
+            # identical semantics to the driver-oracled top_tokens: the
+            # Misra-Gries two-pass variant must produce the SAME exact top-20
+            "SELECT t AS token, count(*) AS n FROM documents, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(t) "
+            "GROUP BY t ORDER BY n DESC, token LIMIT 20"
         ),
     }

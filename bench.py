@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "events_cumulative",           # r4: per-user running totals (sorted scan)
     "canonical_url_dedup",         # r4: vectorized URL canonicalization dedup
     "customers_without_urgent_orders",  # r4: broadcast anti-join
+    "top_tokens_mg",               # r4: Misra-Gries no-shuffle exact top-k
 ]
 HEADLINE = "neardup_pages_bench"
 

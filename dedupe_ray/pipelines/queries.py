@@ -3080,3 +3080,99 @@ def customers_without_urgent_orders(sf_dir: str):
         return batch.filter(pa.array(mask))
 
     return cust.map_batches(_anti, batch_format="pyarrow", batch_size=None)
+
+
+def top_tokens_mg(sf_dir: str, k: int = 20, m: int = 4096):
+    """Exact top-``k`` tokens with NO shuffle: a mergeable Misra-Gries
+    summary (Agarwal et al. 2013, "Mergeable Summaries") finds a provably
+    complete candidate set in one streaming pass, a second streaming pass
+    recounts the candidates exactly. ``top_tokens`` shuffles the whole
+    vocabulary through ``groupby(token)``; this variant moves only
+    ``(m+1) x n_blocks`` summary rows to the driver and a broadcast
+    candidate list back — the shape that wins when the vocabulary is
+    corpus-sized (urls, hosts, shingles) and the shuffle is the bottleneck.
+
+    Pass 1: per-batch exact counts compressed to an m-counter MG summary
+    (decrement all by the (m+1)-th largest count, drop <=0; the decrement is
+    the summary's error bound and rides along as a sentinel ""-token row —
+    the tokenizer never emits an empty token). Driver merge: sum summaries,
+    total error = sum of per-batch decrements; candidates = every token
+    whose upper bound (merged + err) reaches the k-th largest merged count
+    — a superset of any possible true top-k, ties included.
+    Pass 2: broadcast the sorted candidate array once (``ray.put``);
+    per-batch ``np.isin`` + exact counts; driver sums candidate-sized
+    partials and takes top-k by (count desc, token asc) — identical
+    semantics to ``top_tokens``/the SQL oracle, verified equal."""
+    import re
+
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def _batch_tokens(batch: pa.Table) -> np.ndarray:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(pat.findall((t or "").lower()))
+        return np.asarray(toks, dtype=object)
+
+    def _mg_partial(batch: pa.Table) -> pa.Table:
+        toks = _batch_tokens(batch)
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if not len(toks):
+            return empty
+        uniq, counts = np.unique(toks, return_counts=True)
+        counts = counts.astype(np.int64)
+        dec = 0
+        if len(uniq) > m:
+            # MG compression: decrement by the (m+1)-th largest count
+            dec = int(np.partition(counts, -m - 1)[-m - 1])
+            keep = counts > dec
+            uniq, counts = uniq[keep], counts[keep] - dec
+        out_tok = np.r_[uniq, np.asarray([""], dtype=object)]
+        out_n = np.r_[counts, np.int64(dec)]
+        return pa.table({"token": pa.array(out_tok.tolist(), pa.string()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    parts = ds.map_batches(_mg_partial, batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables(
+        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    toks = np.asarray(tbl.column("token").to_pylist(), dtype=object)
+    ns = tbl.column("n").to_numpy(zero_copy_only=False)
+    sentinel = np.asarray([t == "" for t in toks])
+    err = int(ns[sentinel].sum())
+    toks, ns = toks[~sentinel], ns[~sentinel]
+    uniq, inv = np.unique(toks, return_inverse=True)
+    merged = np.bincount(inv, weights=ns).astype(np.int64)
+    if len(merged) == 0:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    kth = (np.partition(merged, -k)[-k] if len(merged) >= k else np.int64(0))
+    cand = np.sort(uniq[merged + err >= kth])
+    ref = ray.put(cand)
+
+    def _recount(batch: pa.Table) -> pa.Table:
+        cs = ray.get(ref)
+        toks_b = _batch_tokens(batch)
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if not len(toks_b):
+            return empty
+        hit = toks_b[np.isin(toks_b, cs)]
+        if not len(hit):
+            return empty
+        u, c = np.unique(hit, return_counts=True)
+        return pa.table({"token": pa.array(u.tolist(), pa.string()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    parts2 = ds.map_batches(_recount, batch_format="pyarrow", batch_size=None)
+    t2 = pa.concat_tables(
+        list(parts2.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    toks2 = np.asarray(t2.column("token").to_pylist(), dtype=object)
+    n2 = t2.column("n").to_numpy(zero_copy_only=False)
+    u2, inv2 = np.unique(toks2, return_inverse=True)
+    tot = np.bincount(inv2, weights=n2).astype(np.int64)
+    order = np.lexsort((u2, -tot))[:k]
+    return pa.table({"token": pa.array(u2[order].tolist(), pa.string()),
+                     "n": pa.array(tot[order], pa.int64())})

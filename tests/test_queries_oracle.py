@@ -531,3 +531,21 @@ def test_corpus_stats_planted(entrymod, tmp_path):
     assert set(sig) == {0, 1, 2}  # doc 3 (<3 tokens) and doc 4 emit nothing
     assert all(len(s) == 8 for s in sig.values())
     _compare(mh, c.execute(o["neardup_docs_minhash_audit"]).fetchdf(), "minhash_planted")
+
+
+def test_top_tokens_mg_compression_path(entrymod, con):
+    """Force the Misra-Gries compression branch (m far below the vocabulary
+    size) and check the two-pass result still equals the exact SQL top-k —
+    i.e. the merged-summary candidate guarantee actually holds, not just the
+    no-compression fast path."""
+    from dedupe_ray.pipelines import queries as Q
+
+    got = Q.top_tokens_mg(SF_DIR, k=10, m=50).to_pandas()
+    want = con.execute(
+        "SELECT t AS token, count(*) AS n FROM documents, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(t) "
+        "GROUP BY t ORDER BY n DESC, token LIMIT 10"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
