@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url_dedup": Q.canonical_url_dedup,
         "customers_without_urgent_orders": Q.customers_without_urgent_orders,
         "top_tokens_mg": Q.top_tokens_mg,
+        "distinct_users_by_type_exact": Q.distinct_users_by_type_exact,
+        # approximate sibling of the oracled exact grouped distinct
+        "distinct_users_by_type_hll": Q.distinct_users_by_type,
     }
 
 
@@ -747,5 +750,9 @@ def local_oracle_sql() -> dict[str, str]:
             "SELECT t AS token, count(*) AS n FROM documents, "
             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(t) "
             "GROUP BY t ORDER BY n DESC, token LIMIT 20"
+        ),
+        "distinct_users_by_type_exact": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS n_distinct_users FROM events GROUP BY event_type"
         ),
     }

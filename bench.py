@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "canonical_url_dedup",         # r4: vectorized URL canonicalization dedup
     "customers_without_urgent_orders",  # r4: broadcast anti-join
     "top_tokens_mg",               # r4: Misra-Gries no-shuffle exact top-k
+    "distinct_users_by_type_exact",  # r4: grouped distinct via pair partials
 ]
 HEADLINE = "neardup_pages_bench"
 

@@ -3176,3 +3176,86 @@ def top_tokens_mg(sf_dir: str, k: int = 20, m: int = 4096):
     order = np.lexsort((u2, -tot))[:k]
     return pa.table({"token": pa.array(u2[order].tolist(), pa.string()),
                      "n": pa.array(tot[order], pa.int64())})
+
+
+def distinct_users_by_type(sf_dir: str, mode: str = "hll"):
+    """GROUPED distinct counting: distinct users per event_type, both as a
+    mergeable per-group HyperLogLog (``mode="hll"``) and as the exact
+    companion (``mode="exact"``). Per batch, ONE pass groups rows by type
+    and emits either a 4 KiB register-array partial per (type, batch) or the
+    distinct (type, user) pairs; the driver merges only
+    ``types x blocks`` partial rows (register max / pair-unique) — the
+    events stream itself never shuffles. The per-group sketch is the shape
+    for high-cardinality group keys at 100 TB (per-host distinct visitors):
+    register partials compose through any hash-partitioned merge because
+    max() is associative and commutative."""
+    from dedupe_ray.functions.hll import HllSketch
+
+    ds = read_table(sf_dir, "events", ["event_type", "user_id"])
+
+    def _mix(ids: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(32)
+        return h
+
+    def _hll_partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        ids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        o = np.argsort(et, kind="stable")
+        et, ids = et[o], ids[o]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        bounds = np.r_[starts, len(et)]
+        types, blobs = [], []
+        h = _mix(ids)
+        for gi in range(len(starts)):
+            sk = HllSketch(p=12)
+            sk.add_hashes(h[bounds[gi] : bounds[gi + 1]])
+            types.append(et[starts[gi]])
+            blobs.append(sk.registers.tobytes())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "registers": pa.array(blobs, pa.binary())})
+
+    def _exact_partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        ids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        o = np.lexsort((ids, et))
+        et, ids = et[o], ids[o]
+        keep = np.r_[True, (et[1:] != et[:-1]) | (ids[1:] != ids[:-1])]
+        return pa.table({"event_type": pa.array(et[keep].tolist(), pa.string()),
+                         "user_id": pa.array(ids[keep], pa.int64())})
+
+    if mode == "hll":
+        parts = ds.map_batches(_hll_partial, batch_format="pyarrow", batch_size=None)
+        sketches: dict[str, HllSketch] = {}
+        for b in parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            for t, blob in zip(b.column("event_type").to_pylist(),
+                               b.column("registers").to_pylist()):
+                sk = sketches.setdefault(t, HllSketch(p=12))
+                sk.merge(np.frombuffer(blob, dtype=np.uint8))
+        types = sorted(sketches)
+        return pa.table(
+            {"event_type": pa.array(types, pa.string()),
+             "approx_distinct_users": pa.array(
+                 [float(sketches[t].estimate()) for t in types], pa.float64())}
+        )
+    parts = ds.map_batches(_exact_partial, batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables(
+        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    et = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+    ids = tbl.column("user_id").to_numpy(zero_copy_only=False)
+    o = np.lexsort((ids, et))
+    et, ids = et[o], ids[o]
+    keep = np.r_[True, (et[1:] != et[:-1]) | (ids[1:] != ids[:-1])]
+    et = et[keep]
+    starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+    n = np.diff(np.r_[starts, len(et)]).astype(np.int64)
+    return pa.table({"event_type": pa.array(et[starts].tolist(), pa.string()),
+                     "n_distinct_users": pa.array(n, pa.int64())})
+
+
+def distinct_users_by_type_exact(sf_dir: str):
+    return distinct_users_by_type(sf_dir, mode="exact")

@@ -549,3 +549,19 @@ def test_top_tokens_mg_compression_path(entrymod, con):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+def test_grouped_hll_tracks_exact(entrymod, con):
+    """Per-group HLL estimates stay within the p=12 error envelope of the
+    exact grouped distinct (which is itself SQL-oracled)."""
+    from dedupe_ray.pipelines import queries as Q
+
+    exact = Q.distinct_users_by_type(SF_DIR, mode="exact").to_pandas()
+    approx = Q.distinct_users_by_type(SF_DIR, mode="hll").to_pandas()
+    merged = exact.merge(approx, on="event_type")
+    assert len(merged) == len(exact) > 0
+    rel = (
+        (merged.approx_distinct_users - merged.n_distinct_users).abs()
+        / merged.n_distinct_users
+    )
+    assert (rel < 0.05).all(), merged
