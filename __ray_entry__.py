@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type_exact": Q.distinct_users_by_type_exact,
         # approximate sibling of the oracled exact grouped distinct
         "distinct_users_by_type_hll": Q.distinct_users_by_type,
+        "events_pivot": Q.events_pivot,
+        "user_funnel_stages": Q.user_funnel_stages,
     }
 
 
@@ -754,5 +756,33 @@ def local_oracle_sql() -> dict[str, str]:
         "distinct_users_by_type_exact": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
             "AS n_distinct_users FROM events GROUP BY event_type"
+        ),
+        "events_pivot": (
+            # the pivot columns are the sorted event_type values of the
+            # corpus (the Ray side discovers them; this corpus has five)
+            "SELECT user_id, "
+            "CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click, "
+            "CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error, "
+            "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase, "
+            "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup, "
+            "CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view "
+            "FROM events GROUP BY user_id"
+        ),
+        "user_funnel_stages": (
+            # strictly-increasing first-occurrence chain signup>view>click>
+            # purchase; stage = completed steps, same rule as the kernel
+            "WITH f AS (SELECT user_id, "
+            "min(ts) FILTER (WHERE event_type = 'signup') AS s, "
+            "min(ts) FILTER (WHERE event_type = 'view') AS v, "
+            "min(ts) FILTER (WHERE event_type = 'click') AS c, "
+            "min(ts) FILTER (WHERE event_type = 'purchase') AS p "
+            "FROM events WHERE event_type IN "
+            "('signup', 'view', 'click', 'purchase') GROUP BY user_id) "
+            "SELECT user_id, CAST(CASE "
+            "WHEN s IS NULL THEN 0 "
+            "WHEN v IS NULL OR v <= s THEN 1 "
+            "WHEN c IS NULL OR c <= v THEN 2 "
+            "WHEN p IS NULL OR p <= c THEN 3 "
+            "ELSE 4 END AS BIGINT) AS stage FROM f"
         ),
     }

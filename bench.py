@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "customers_without_urgent_orders",  # r4: broadcast anti-join
     "top_tokens_mg",               # r4: Misra-Gries no-shuffle exact top-k
     "distinct_users_by_type_exact",  # r4: grouped distinct via pair partials
+    "events_pivot",                # r4: two-phase pivot (discover types, partial counts)
+    "user_funnel_stages",          # r4: ordered-funnel analysis from min-ts partials
 ]
 HEADLINE = "neardup_pages_bench"
 

@@ -3259,3 +3259,110 @@ def distinct_users_by_type(sf_dir: str, mode: str = "hll"):
 
 def distinct_users_by_type_exact(sf_dir: str):
     return distinct_users_by_type(sf_dir, mode="exact")
+
+
+def events_pivot(sf_dir: str):
+    """Pivot (wide conditional aggregation): one row per user with per-type
+    event counts as COLUMNS. The type set is discovered first via per-batch
+    unique partials (bounded: types x blocks rows, no shuffle), then each
+    batch collapses to one (user x type-count-vector) partial row before the
+    single user_id groupby — the classic two-phase pivot: the shuffle moves
+    |users| x (|types|+1) integers, never events. Column order is the sorted
+    type list, so the schema is deterministic for any corpus."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type"])
+
+    def _types(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(batch.column("event_type").to_pylist(), dtype=object))
+        return pa.table({"t": pa.array(u.tolist(), pa.string())})
+
+    tparts = ds.map_batches(_types, batch_format="pyarrow", batch_size=None)
+    ttbl = pa.concat_tables(
+        list(tparts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    types = np.unique(np.asarray(ttbl.column("t").to_pylist(), dtype=object))
+    type_cols = [f"n_{t}" for t in types]
+    tref = ray.put(types)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = ray.get(tref)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        users, uinv = np.unique(uid, return_inverse=True)
+        tinv = np.searchsorted(ts, et)
+        counts = np.zeros((len(users), len(ts)), np.int64)
+        np.add.at(counts, (uinv, tinv), 1)
+        cols = {"user_id": pa.array(users, pa.int64())}
+        for j, name in enumerate(type_cols):
+            cols[name] = pa.array(counts[:, j], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in type_cols])
+    )
+
+
+def user_funnel_stages(sf_dir: str):
+    """Funnel analysis: how far each user progresses through the ordered
+    chain signup → view → click → purchase, where each step must FIRST occur
+    strictly after the previous step's first occurrence. Per batch, one
+    lexsort collapses to (user, type, min_ts) partials; the driver merges
+    the bounded partials (users x types rows) and evaluates the chain
+    vectorized — events themselves never shuffle. ``stage`` counts completed
+    steps (0-4); all-integer output, bit-identical to the SQL window
+    replica."""
+    funnel = ["signup", "view", "click", "purchase"]
+    ds = read_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        ts = (
+            batch.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        sel = np.isin(et, funnel)
+        uid, et, ts = uid[sel], et[sel], ts[sel]
+        if not len(uid):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "first_ts": pa.array([], pa.int64())})
+        o = np.lexsort((ts, et, uid))
+        uid, et, ts = uid[o], et[o], ts[o]
+        keep = np.r_[True, (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])]
+        return pa.table({"user_id": pa.array(uid[keep], pa.int64()),
+                         "event_type": pa.array(et[keep].tolist(), pa.string()),
+                         "first_ts": pa.array(ts[keep], pa.int64())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables(
+        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+    et = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+    ts = tbl.column("first_ts").to_numpy(zero_copy_only=False)
+    o = np.lexsort((ts, et, uid))
+    uid, et, ts = uid[o], et[o], ts[o]
+    keep = np.r_[True, (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])]
+    uid, et, ts = uid[keep], et[keep], ts[keep]
+    users = np.unique(uid)
+    # first_ts per (user, step) into a dense matrix; missing = sentinel max
+    sentinel = np.iinfo(np.int64).max
+    mat = np.full((len(users), len(funnel)), sentinel)
+    urow = np.searchsorted(users, uid)
+    for j, step in enumerate(funnel):
+        m = et == step
+        mat[urow[m], j] = ts[m]
+    stage = np.zeros(len(users), np.int64)
+    alive = np.ones(len(users), bool)
+    prev = np.full(len(users), np.iinfo(np.int64).min)
+    for j in range(len(funnel)):
+        ok = alive & (mat[:, j] != sentinel) & (mat[:, j] > prev)
+        stage[ok] += 1
+        alive = ok
+        prev = np.where(ok, mat[:, j], prev)
+    return pa.table({"user_id": pa.array(users, pa.int64()),
+                     "stage": pa.array(stage, pa.int64())})
