@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type_hll": Q.distinct_users_by_type,
         "events_pivot": Q.events_pivot,
         "user_funnel_stages": Q.user_funnel_stages,
+        # approximate sibling of the oracled exact quantiles
+        "events_value_quantiles_approx": Q.events_value_quantiles_approx,
     }
 
 

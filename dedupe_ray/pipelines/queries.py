@@ -3366,3 +3366,62 @@ def user_funnel_stages(sf_dir: str):
         prev = np.where(ok, mat[:, j], prev)
     return pa.table({"user_id": pa.array(users, pa.int64()),
                      "stage": pa.array(stage, pa.int64())})
+
+
+def events_value_quantiles_approx(sf_dir: str, k: int = 1024):
+    """Approximate p50/p90/p99 of ``value`` per event_type via the mergeable
+    weighted quantile summary (`functions/quantile.py`) — the scale path for
+    UNBOUNDED value domains where the exact histogram partials of
+    ``events_value_quantiles`` would not stay bounded. Each batch emits ≤ k
+    (type, value, weight) rows; the driver merges types × k × blocks rows
+    and answers PERCENTILE_DISC off the summary. Deterministic (no
+    sampling); rank error ≤ ~2·n/k, pinned against the exact oracled
+    sibling in tests."""
+    from dedupe_ray.functions.quantile import compress, merge, quantile
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        o = np.argsort(et, kind="stable")
+        et, v = et[o], v[o]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        bounds = np.r_[starts, len(et)]
+        types, vals, ws = [], [], []
+        for gi in range(len(starts)):
+            g = v[bounds[gi] : bounds[gi + 1]]
+            cv, cw = compress(g, np.ones(len(g), np.int64), k)
+            types.extend([et[starts[gi]]] * len(cv))
+            vals.append(cv)
+            ws.append(cw)
+        return pa.table(
+            {"event_type": pa.array(types, pa.string()),
+             "value": pa.array(np.concatenate(vals) if vals else
+                               np.array([], np.float64), pa.float64()),
+             "w": pa.array(np.concatenate(ws) if ws else
+                           np.array([], np.int64), pa.int64())}
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables(
+        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    et = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+    v = tbl.column("value").to_numpy(zero_copy_only=False)
+    w = tbl.column("w").to_numpy(zero_copy_only=False)
+    out = {"event_type": [], "n": [], "p50": [], "p90": [], "p99": []}
+    for t in np.unique(et):
+        m = et == t
+        sv, sw = merge([(v[m], w[m])], k)
+        out["event_type"].append(t)
+        out["n"].append(int(sw.sum()))
+        for p, key in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            out[key].append(quantile(sv, sw, p))
+    return pa.table(
+        {"event_type": pa.array(out["event_type"], pa.string()),
+         "n": pa.array(out["n"], pa.int64()),
+         "p50": pa.array(out["p50"], pa.float64()),
+         "p90": pa.array(out["p90"], pa.float64()),
+         "p99": pa.array(out["p99"], pa.float64())}
+    )

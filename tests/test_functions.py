@@ -564,3 +564,45 @@ class TestUrlNorm:
         got = canonicalize_urls(pa.array(urls, pa.string())).to_pylist()
         want = [scalar(u) for u in urls]
         assert got == want
+
+
+class TestQuantileSummary:
+    def test_compress_preserves_weight_and_membership(self):
+        from dedupe_ray.functions.quantile import compress
+
+        rng = np.random.RandomState(7)
+        v = rng.randn(10000)
+        cv, cw = compress(v, np.ones(len(v), np.int64), 64)
+        assert len(cv) <= 64
+        assert cw.sum() == len(v)
+        assert np.isin(cv, v).all()  # points are actual data values
+        assert (np.diff(cv) >= 0).all()
+
+    def test_rank_error_bound_after_merge(self):
+        from dedupe_ray.functions.quantile import compress, merge, quantile
+
+        rng = np.random.RandomState(11)
+        v = np.r_[rng.randn(30000), rng.exponential(5, 20000)]
+        k = 512
+        parts = [
+            compress(c, np.ones(len(c), np.int64), k)
+            for c in np.array_split(v, 37)
+        ]
+        sv, sw = merge(parts, k)
+        assert sw.sum() == len(v)
+        vs = np.sort(v)
+        for p in (0.01, 0.25, 0.5, 0.9, 0.99):
+            q = quantile(sv, sw, p)
+            rank = np.searchsorted(vs, q, side="left") / len(v)
+            assert abs(rank - p) <= 3.0 / k, (p, rank)
+
+    def test_merge_exact_when_small(self):
+        from dedupe_ray.functions.quantile import compress, merge, quantile
+
+        v = np.arange(100, dtype=np.float64)
+        parts = [compress(c, np.ones(len(c), np.int64), 1024)
+                 for c in np.array_split(v, 7)]
+        sv, sw = merge(parts, 1024)
+        # no compression occurred: summary is the exact sorted multiset
+        assert (sv == v).all() and (sw == 1).all()
+        assert quantile(sv, sw, 0.5) == 49.0

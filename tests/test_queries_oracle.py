@@ -565,3 +565,22 @@ def test_grouped_hll_tracks_exact(entrymod, con):
         / merged.n_distinct_users
     )
     assert (rel < 0.05).all(), merged
+
+
+def test_approx_quantiles_track_exact(entrymod, con):
+    """The mergeable-summary quantiles track the exact (oracled) sibling:
+    bit-equal when k exceeds the distinct count (no compression), and
+    rank-close when compression is forced (k=32)."""
+    from dedupe_ray.pipelines import queries as Q
+
+    exact = Q.events_value_quantiles(SF_DIR).to_pandas().set_index("event_type")
+    full = Q.events_value_quantiles_approx(SF_DIR).to_pandas().set_index("event_type")
+    pd.testing.assert_frame_equal(full.sort_index(), exact.sort_index())
+
+    coarse = Q.events_value_quantiles_approx(SF_DIR, k=32).to_pandas().set_index("event_type")
+    events = con.execute("SELECT event_type, value FROM events").df()
+    for t, row in coarse.iterrows():
+        vs = events[events.event_type == t].value.sort_values().to_numpy()
+        for p, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            rank = vs.searchsorted(row[col], side="left") / len(vs)
+            assert abs(rank - p) <= 3.0 / 32, (t, p, rank)
