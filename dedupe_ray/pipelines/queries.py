@@ -3261,47 +3261,78 @@ def distinct_users_by_type_exact(sf_dir: str):
     return distinct_users_by_type(sf_dir, mode="exact")
 
 
-def events_pivot(sf_dir: str):
+def events_pivot(sf_dir: str, driver_merge_max_rows: int = 5_000_000):
     """Pivot (wide conditional aggregation): one row per user with per-type
-    event counts as COLUMNS. The type set is discovered first via per-batch
-    unique partials (bounded: types x blocks rows, no shuffle), then each
-    batch collapses to one (user x type-count-vector) partial row before the
-    single user_id groupby — the classic two-phase pivot: the shuffle moves
-    |users| x (|types|+1) integers, never events. Column order is the sorted
-    type list, so the schema is deterministic for any corpus."""
-    from ray.data.aggregate import Sum
-
+    event counts as COLUMNS. ONE pass over the events emits LONG-form
+    (user, type, count) partials — each batch collapses with a single
+    lexsort + run-length, so the type set needs no separate discovery
+    execution. The bounded partials (≤ users × types × blocks rows) merge
+    on the driver and pivot wide there (matrix scatter-add); when the
+    partial table exceeds ``driver_merge_max_rows`` (unbounded user
+    domains at crawl scale) the same long partials instead flow through
+    ONE user_id range partition (`sorted_group_apply`) and pivot per
+    block against the type set already present in the partials — the
+    shuffle moves |users| × |types| integer rows, never events. Column
+    order is the sorted type list, so the schema is deterministic."""
     ds = read_table(sf_dir, "events", ["user_id", "event_type"])
 
-    def _types(batch: pa.Table) -> pa.Table:
+    def _partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        o = np.lexsort((et, uid))
+        uid, et = uid[o], et[o]
+        starts = np.flatnonzero(np.r_[True, (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])])
+        cnt = np.diff(np.r_[starts, len(uid)]).astype(np.int64)
+        return pa.table({"user_id": pa.array(uid[starts], pa.int64()),
+                         "event_type": pa.array(et[starts].tolist(), pa.string()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+
+    def _pivot_block(block: pa.Table, types: np.ndarray) -> pa.Table:
+        uid = block.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(block.column("event_type").to_pylist(), dtype=object)
+        n = block.column("n").to_numpy(zero_copy_only=False)
+        users, uinv = np.unique(uid, return_inverse=True)
+        tinv = np.searchsorted(types, et)
+        mat = np.zeros((len(users), len(types)), np.int64)
+        np.add.at(mat, (uinv, tinv), n)
+        cols = {"user_id": pa.array(users, pa.int64())}
+        for j, t in enumerate(types):
+            cols[f"n_{t}"] = pa.array(mat[:, j], pa.int64())
+        return pa.table(cols)
+
+    if driver_merge_max_rows > 0:
+        tbl = pa.concat_tables(
+            list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        )
+        if tbl.num_rows <= driver_merge_max_rows:
+            types = np.unique(
+                np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+            )
+            return _pivot_block(tbl, types)
+        # over the gate: fall through to the distributed path (the long
+        # partials recompute once — the price of discovering the overflow)
+    # distributed path (driver_merge_max_rows=0 skips the driver attempt
+    # entirely): type set from a tiny distinct-type projection of the
+    # partials (types × blocks rows), then ONE user_id range partition of
+    # the long partials — |users| × |types| integer rows shuffle, never
+    # events, and the driver never holds the user axis
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    def _types_of(batch: pa.Table) -> pa.Table:
         u = np.unique(np.asarray(batch.column("event_type").to_pylist(), dtype=object))
         return pa.table({"t": pa.array(u.tolist(), pa.string())})
 
-    tparts = ds.map_batches(_types, batch_format="pyarrow", batch_size=None)
     ttbl = pa.concat_tables(
-        list(tparts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        list(
+            parts.map_batches(_types_of, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
     )
     types = np.unique(np.asarray(ttbl.column("t").to_pylist(), dtype=object))
-    type_cols = [f"n_{t}" for t in types]
-    tref = ray.put(types)
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        ts = ray.get(tref)
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
-        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
-        users, uinv = np.unique(uid, return_inverse=True)
-        tinv = np.searchsorted(ts, et)
-        counts = np.zeros((len(users), len(ts)), np.int64)
-        np.add.at(counts, (uinv, tinv), 1)
-        cols = {"user_id": pa.array(users, pa.int64())}
-        for j, name in enumerate(type_cols):
-            cols[name] = pa.array(counts[:, j], pa.int64())
-        return pa.table(cols)
-
-    return (
-        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-        .groupby("user_id")
-        .aggregate(*[Sum(c, alias_name=c) for c in type_cols])
+    return sorted_group_apply(
+        parts, "user_id", lambda b: _pivot_block(b, types)
     )
 
 

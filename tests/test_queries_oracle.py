@@ -584,3 +584,22 @@ def test_approx_quantiles_track_exact(entrymod, con):
         for p, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
             rank = vs.searchsorted(row[col], side="left") / len(vs)
             assert abs(rank - p) <= 3.0 / 32, (t, p, rank)
+
+
+def test_events_pivot_distributed_path(entrymod, con):
+    """driver_merge_max_rows=0 forces the sorted_group_apply pivot path;
+    it must equal the (oracled) driver-merge path exactly."""
+    import pyarrow as pa
+
+    import ray.data
+    from dedupe_ray.pipelines import queries as Q
+
+    a = Q.events_pivot(SF_DIR)
+    b = Q.events_pivot(SF_DIR, driver_merge_max_rows=0)
+    if isinstance(b, ray.data.Dataset):
+        b = pa.concat_tables(
+            list(b.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        )
+    a = a.sort_by([("user_id", "ascending")])
+    b = b.select(a.column_names).sort_by([("user_id", "ascending")])
+    assert a.equals(b)
