@@ -121,6 +121,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel_stages": Q.user_funnel_stages,
         # approximate sibling of the oracled exact quantiles
         "events_value_quantiles_approx": Q.events_value_quantiles_approx,
+        "events_time_deltas": Q.events_time_deltas,
+        "lineitem_rollup": Q.lineitem_rollup,
+        "latest_event_per_user": Q.latest_event_per_user,
+        "orders_lineitem_join_bloom": Q.orders_lineitem_join_bloom,
+        "weighted_sample_docs": Q.weighted_sample_docs,
+        "validate_docs": Q.validate_docs,
     }
 
 
@@ -769,6 +775,63 @@ def local_oracle_sql() -> dict[str, str]:
             "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup, "
             "CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view "
             "FROM events GROUP BY user_id"
+        ),
+        "events_time_deltas": (
+            "WITH d AS (SELECT user_id, epoch_us(ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) AS gap FROM events) "
+            "SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps, "
+            "CAST(COALESCE(sum(gap), 0) AS BIGINT) AS sum_gap_us, "
+            "CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us "
+            "FROM d GROUP BY user_id"
+        ),
+        "lineitem_rollup": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "latest_event_per_user": (
+            "SELECT user_id, event_id AS last_event_id, "
+            "event_type AS last_type, ts AS last_ts FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "orders_lineitem_join_bloom": (
+            # a Bloom filter has no false negatives and the exact stage
+            # removes false positives → result equals the plain filtered join
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderpriority = '1-URGENT'"
+        ),
+        "weighted_sample_docs": (
+            # mix64 = the fingerprint finalizer replayed in HUGEINT wrap
+            # arithmetic (same 32x64 multiply split as the winnowing oracle)
+            "WITH d AS (SELECT doc_id, n_chars, "
+            "CAST(greatest(n_chars, 1) AS HUGEINT) AS w, "
+            "CAST(doc_id AS UBIGINT) AS h0 FROM documents), "
+            "m1 AS (SELECT doc_id, n_chars, w, "
+            "CAST(xor(h0, h0 >> 33) AS HUGEINT) AS h1 FROM d), "
+            f"m2 AS (SELECT doc_id, n_chars, w, ((h1 % 4294967296) * {_FP_MIX} + "
+            f"((h1 // 4294967296) * {_FP_MIX} % 4294967296) * 4294967296) "
+            f"% {_FP_M64} AS h2 FROM m1), "
+            "hh AS (SELECT doc_id, n_chars, w, CAST(xor(CAST(h2 AS UBIGINT), "
+            "CAST(h2 AS UBIGINT) >> 33) AS HUGEINT) AS h FROM m2) "
+            "SELECT doc_id, n_chars, CAST(h // w AS UBIGINT) AS priority "
+            "FROM hh ORDER BY h // w, doc_id LIMIT 64"
+        ),
+        "validate_docs": (
+            "SELECT 'null_text' AS rule, CAST(count(*) FILTER "
+            "(WHERE text IS NULL) AS BIGINT) AS n_violations FROM documents "
+            "UNION ALL SELECT 'empty_text', CAST(count(*) FILTER "
+            "(WHERE text = '') AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'n_chars_mismatch', CAST(count(*) FILTER "
+            "(WHERE text IS NOT NULL AND n_chars <> length(text)) AS BIGINT) "
+            "FROM documents "
+            "UNION ALL SELECT 'bad_lang', CAST(count(*) FILTER "
+            "(WHERE lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2,3}$')) "
+            "AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'dup_doc_id', "
+            "CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents"
         ),
         "user_funnel_stages": (
             # strictly-increasing first-occurrence chain signup>view>click>

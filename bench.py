@@ -57,6 +57,12 @@ BENCH_QUERIES = [
     "distinct_users_by_type_exact",  # r4: grouped distinct via pair partials
     "events_pivot",                # r4: two-phase pivot (discover types, partial counts)
     "user_funnel_stages",          # r4: ordered-funnel analysis from min-ts partials
+    "events_time_deltas",          # r4: LAG gaps per user (range partition + diff)
+    "lineitem_rollup",             # r4: GROUP BY ROLLUP from one partial pass
+    "latest_event_per_user",       # r4: arg-max partials, events never shuffle
+    "orders_lineitem_join_bloom",  # r4: bloom-prefiltered join (big-big shape)
+    "weighted_sample_docs",        # r4: deterministic weighted priority sample
+    "validate_docs",               # r4: data-validation audit partials
 ]
 HEADLINE = "neardup_pages_bench"
 

@@ -3456,3 +3456,390 @@ def events_value_quantiles_approx(sf_dir: str, k: int = 1024):
          "p90": pa.array(out["p90"], pa.float64()),
          "p99": pa.array(out["p99"], pa.float64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# r4 (cont.): lag windows, rollup, arg-max, bloom join, weighted sampling,
+# validation audit
+# ---------------------------------------------------------------------------
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Splitmix-style 64-bit finalizer (the fingerprint kernel's mix,
+    functions/fingerprint.py) over a uint64 array — contiguous 1-D ops."""
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return h
+
+
+def events_time_deltas(sf_dir: str):
+    """Per-user inter-event gap statistics — the LAG window family: number
+    of gaps, total and max gap in exact integer microseconds (0 for
+    single-event users, the oracle's COALESCE semantics). One single-key
+    range partition on ``user_id`` (the ``user_sessions`` shape; only
+    ``(event_id, user_id, ts)`` enters the sort), then one lexsort + diff +
+    reduceat per block — no per-row Python, and int64 sums/maxes are
+    order-independent → bit-identical to the SQL LAG oracle."""
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _gaps(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "n_gaps": pa.array([], pa.int64()),
+             "sum_gap_us": pa.array([], pa.int64()),
+             "max_gap_us": pa.array([], pa.int64())}
+        )
+        if block.num_rows == 0:
+            return empty
+        eid = block.column("event_id").to_numpy(zero_copy_only=False)
+        uid = block.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            block.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        o = np.lexsort((eid, ts, uid))
+        uid, ts = uid[o], ts[o]
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        gstart = np.flatnonzero(first)
+        glen = np.diff(np.r_[gstart, len(uid)])
+        # per-row gap vs the previous event of the SAME user (0 at heads)
+        gap = np.r_[np.int64(0), np.diff(ts)]
+        gap[first] = 0
+        return pa.table(
+            {"user_id": pa.array(uid[gstart], pa.int64()),
+             "n_gaps": pa.array(glen - 1, pa.int64()),
+             "sum_gap_us": pa.array(np.add.reduceat(gap, gstart), pa.int64()),
+             "max_gap_us": pa.array(np.maximum.reduceat(gap, gstart), pa.int64())}
+        )
+
+    return sorted_group_apply(ds, "user_id", _gaps)
+
+
+def lineitem_rollup(sf_dir: str):
+    """Multi-level aggregate (GROUP BY ROLLUP): per-(returnflag, linestatus)
+    totals, per-flag subtotals, and the grand total, with ``'ALL'`` as the
+    rollup label. The fact table never shuffles: per-batch partials collapse
+    each batch to ≤ |flag × status| rows (the ``lineitem_agg`` shape), the
+    driver merges ≤ 6 × n_blocks partial rows, and all three levels derive
+    from the finest grain — the rollup costs the same ONE pass as the plain
+    aggregate. l_quantity is integral so float64 sums are exact and
+    order-independent."""
+    ds = read_table(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        ren = {"l_quantity_sum": "p_qty", "l_quantity_count": "p_n"}
+        return t.rename_columns([ren.get(c, c) for c in t.column_names])
+
+    cand = pa.concat_tables(
+        list(
+            ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"l_returnflag": pa.array([], pa.string()),
+                      "l_linestatus": pa.array([], pa.string()),
+                      "p_qty": pa.array([], pa.float64()),
+                      "p_n": pa.array([], pa.int64())})]
+    )
+
+    def _level(tbl: pa.Table, keys: list[str]) -> pa.Table:
+        if keys:
+            g = tbl.group_by(keys).aggregate([("p_qty", "sum"), ("p_n", "sum")])
+            ren = {"p_qty_sum": "sum_qty", "p_n_sum": "n"}
+            g = g.rename_columns([ren.get(c, c) for c in g.column_names])
+        else:
+            g = pa.table(
+                {"sum_qty": pa.array(
+                    [pc.sum(tbl.column("p_qty")).as_py() or 0.0], pa.float64()),
+                 "n": pa.array(
+                    [pc.sum(tbl.column("p_n")).as_py() or 0], pa.int64())}
+            )
+        n = g.num_rows
+        cols = {}
+        for name in ("l_returnflag", "l_linestatus"):
+            cols[name] = (
+                g.column(name) if name in g.column_names
+                else pa.array(["ALL"] * n, pa.string())
+            )
+        cols["sum_qty"] = g.column("sum_qty")
+        cols["n"] = pc.cast(g.column("n"), pa.int64())
+        return pa.table(cols)
+
+    return pa.concat_tables(
+        [_level(cand, ["l_returnflag", "l_linestatus"]),
+         _level(cand, ["l_returnflag"]),
+         _level(cand, [])]
+    )
+
+
+def latest_event_per_user(sf_dir: str):
+    """ARG-MAX aggregate: each user's latest event (row, not just the max
+    ts), ties broken by event_id — the "current state per entity" pattern.
+    Per-batch partials keep ONE row per user (lexsort + group-tail take), so
+    the events table never shuffles; only per-batch winners (≤ n_users rows
+    per block) enter the single-key range partition, where the identical
+    kernel picks the global winner."""
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _keep_latest(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block
+        eid = block.column("event_id").to_numpy(zero_copy_only=False)
+        uid = block.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            block.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        o = np.lexsort((eid, ts, uid))
+        uid_s = uid[o]
+        gstart = np.flatnonzero(np.r_[True, uid_s[1:] != uid_s[:-1]])
+        tails = o[np.r_[gstart[1:], len(uid_s)] - 1]
+        return block.take(pa.array(tails, pa.int64()))
+
+    partials = ds.map_batches(_keep_latest, batch_format="pyarrow", batch_size=None)
+    merged = sorted_group_apply(partials, "user_id", _keep_latest)
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": batch.column("user_id"),
+             "last_event_id": batch.column("event_id"),
+             "last_type": batch.column("event_type"),
+             "last_ts": batch.column("ts")}
+        )
+
+    return merged.map_batches(_rename, batch_format="pyarrow", batch_size=None)
+
+
+def orders_lineitem_join_bloom(sf_dir: str, m_bits: int = 1 << 20, k_hashes: int = 4):
+    """Bloom-filter pre-filtered join — the BIG-BIG join shape for 100 TB:
+    when even the predicate-filtered build side is too large to broadcast as
+    raw keys, broadcast a FIXED-SIZE Bloom filter of its keys instead
+    (m/8 bytes regardless of build-side row count), pre-filter the probe
+    side in one streaming pass, and let only survivors enter the exact
+    join. A Bloom filter has no false negatives, and false positives are
+    removed by the exact join — so the result equals the plain join under
+    the predicate (the SQL oracle). Here: lineitem ⋈ URGENT orders; the
+    bloom pass cuts the probe side ~5× before any join work — at scale
+    that is the difference between shuffling the whole fact table and a
+    fifth of it. Build: per-batch bit-array partials, OR-merged on the
+    driver (n_blocks × m/8 bytes); probe: double-hashed k-bit membership
+    test in contiguous uint64 ops. With n ≈ build keys, FPR ≈
+    (1 − e^(−k·n/m))^k — defaults give <1e-4 at sf0.1; size m to the
+    build side's distinct-key count at scale."""
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def _urgent(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch.column("o_orderpriority"), "1-URGENT"))
+        return keep.select(["o_orderkey", "o_orderdate"])
+
+    urgent = orders.map_batches(_urgent, batch_format="pyarrow", batch_size=None)
+    words = m_bits >> 6
+    seed2 = np.uint64(0x9E3779B97F4A7C15)
+
+    def _probe_idx(keys: np.ndarray, i: int) -> np.ndarray:
+        h1 = _mix64(keys)
+        with np.errstate(over="ignore"):
+            h2 = _mix64(keys ^ seed2) | np.uint64(1)
+            return (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+
+    def _bloom_partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bits = np.zeros(words, np.uint64)
+        for i in range(k_hashes):
+            idx = _probe_idx(keys, i)
+            np.bitwise_or.at(bits, idx >> np.uint64(6),
+                             np.uint64(1) << (idx & np.uint64(63)))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.large_binary())})
+
+    # driver receives n_blocks fixed-size bit arrays + the (small, bounded)
+    # urgent key/date table for the exact stage — the bc-join contract
+    parts = pa.concat_tables(
+        list(
+            urgent.map_batches(_bloom_partial, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"bits": pa.array([], pa.large_binary())})]
+    )
+    bits = np.zeros(words, np.uint64)
+    for b in parts.column("bits").to_pylist():
+        bits |= np.frombuffer(b, np.uint64)
+    small = pa.concat_tables(
+        list(urgent.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        or [pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "o_orderdate": pa.array([], pa.timestamp("us"))})]
+    )
+    skeys = small.column("o_orderkey").to_numpy(zero_copy_only=False)
+    sdates = small.column("o_orderdate").to_numpy(zero_copy_only=False)
+    so = np.argsort(skeys, kind="stable")
+    ref = ray.put((bits, skeys[so], sdates[so]))
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        bbits, bkeys, bdates = ray.get(ref)
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        uk = keys.astype(np.uint64)
+        mask = np.ones(len(keys), bool)
+        for i in range(k_hashes):
+            idx = _probe_idx(uk[mask], i)
+            hit = (bbits[idx >> np.uint64(6)]
+                   >> (idx & np.uint64(63))) & np.uint64(1)
+            m2 = mask.copy()
+            m2[np.flatnonzero(mask)[hit == 0]] = False
+            mask = m2
+            if not mask.any():
+                break
+        surv = batch.filter(pa.array(mask))
+        # exact stage over bloom survivors only (removes false positives)
+        sk = surv.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(bkeys, sk)
+        pos_c = np.minimum(pos, max(len(bkeys) - 1, 0))
+        ok = (len(bkeys) > 0) & (bkeys[pos_c] == sk) if len(bkeys) else np.zeros(len(sk), bool)
+        surv = surv.filter(pa.array(ok))
+        return pa.table(
+            {"l_orderkey": surv.column("l_orderkey"),
+             "l_linenumber": surv.column("l_linenumber"),
+             "l_quantity": surv.column("l_quantity"),
+             "o_orderdate": pa.array(
+                 bdates[pos_c[ok]] if len(bkeys) else
+                 np.array([], "datetime64[us]"), pa.timestamp("us"))}
+        )
+
+    return li.map_batches(_probe, batch_format="pyarrow", batch_size=None)
+
+
+def weighted_sample_docs(sf_dir: str, k: int = 64):
+    """Deterministic weighted (length-proportional) sampling: priority =
+    mix64(doc_id) // max(n_chars, 1); the k smallest (priority, doc_id)
+    rows win. Longer docs draw proportionally smaller priorities, so
+    selection is ≈ weight-proportional — priority sampling with a
+    deterministic hash in place of the random key (cf. Efraimidis-
+    Spirakis weighted reservoirs), reproducible across runs and engines.
+    Partial-top-k per block (the ``stratified_sample_docs`` shape): the
+    corpus never shuffles, the driver merges ≤ k × n_blocks candidate
+    rows. The mix is the fingerprint finalizer, replayed in HUGEINT wrap
+    arithmetic for the SQL oracle."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _topk(ids: np.ndarray, chars: np.ndarray) -> tuple[np.ndarray, ...]:
+        w = np.maximum(chars, 1).astype(np.uint64)
+        prio = _mix64(ids.astype(np.uint64)) // w
+        o = np.lexsort((ids, prio))[:k]
+        return ids[o], chars[o], prio[o]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids, chars, prio = _topk(
+            batch.column("doc_id").to_numpy(zero_copy_only=False),
+            batch.column("n_chars").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_chars": pa.array(chars, pa.int64()),
+             "priority": pa.array(prio, pa.uint64())}
+        )
+
+    cand = pa.concat_tables(
+        list(
+            ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_chars": pa.array([], pa.int64()),
+                      "priority": pa.array([], pa.uint64())})]
+    )
+    ids, chars, prio = _topk(
+        cand.column("doc_id").to_numpy(zero_copy_only=False),
+        cand.column("n_chars").to_numpy(zero_copy_only=False),
+    )
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "n_chars": pa.array(chars, pa.int64()),
+         "priority": pa.array(prio, pa.uint64())}
+    )
+
+
+def validate_docs(sf_dir: str):
+    """Data-validation audit — the pre-flight every corpus ingest runs:
+    one row per rule with its violation count. Scalar rules (null text,
+    empty text, ``n_chars`` disagreeing with ``length(text)``, malformed
+    lang tag) are vectorized per-batch counter partials summed by one tiny
+    groupby; the duplicate-id rule runs the exact-dedup partial shape over
+    ``doc_id`` alone (per-batch (id, count) rows → single-key groupby) so
+    document text never shuffles for any rule."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    rules = ["null_text", "empty_text", "n_chars_mismatch", "bad_lang"]
+
+    def _scalar_partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        lang = batch.column("lang")
+        n_chars = batch.column("n_chars")
+        valid = pc.is_valid(text)
+        n_null = pc.sum(pc.is_null(text)).as_py() or 0
+        n_empty = pc.sum(
+            pc.and_(valid, pc.equal(pc.binary_length(text), 0))
+        ).as_py() or 0
+        n_mismatch = pc.sum(
+            pc.and_(valid, pc.not_equal(
+                pc.cast(pc.utf8_length(text), pa.int64()), n_chars))
+        ).as_py() or 0
+        n_badlang = pc.sum(pc.or_kleene(
+            pc.is_null(lang),
+            pc.invert(pc.match_substring_regex(lang, r"^[a-z]{2,3}$")),
+        )).as_py() or 0
+        return pa.table(
+            {"rule": pa.array(rules, pa.string()),
+             "p_n": pa.array([n_null, n_empty, n_mismatch, n_badlang], pa.int64())}
+        )
+
+    scalars = (
+        ds.map_batches(_scalar_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("rule")
+        .aggregate(Sum("p_n", alias_name="n_violations"))
+    )
+
+    def _id_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("doc_id").aggregate([([], "count_all")])
+        return t.rename_columns(
+            ["p_n" if c == "count_all" else c for c in t.column_names]
+        )
+
+    idc = (
+        read_table(sf_dir, "documents", ["doc_id"])
+        .map_batches(_id_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def _dup_partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({"d": pa.array([int((n - 1).sum())], pa.int64())})
+
+    dup = (
+        idc.map_batches(_dup_partial, batch_format="pyarrow", batch_size=None)
+        .sum("d")
+    )
+    out = pa.concat_tables(
+        list(scalars.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        or [pa.table({"rule": pa.array([], pa.string()),
+                      "n_violations": pa.array([], pa.int64())})]
+    )
+    out = pa.table(
+        {"rule": out.column("rule"),
+         "n_violations": pc.cast(out.column("n_violations"), pa.int64())}
+    )
+    return pa.concat_tables(
+        [out,
+         pa.table({"rule": pa.array(["dup_doc_id"], pa.string()),
+                   "n_violations": pa.array([int(dup or 0)], pa.int64())})]
+    )

