@@ -127,6 +127,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join_bloom": Q.orders_lineitem_join_bloom,
         "weighted_sample_docs": Q.weighted_sample_docs,
         "validate_docs": Q.validate_docs,
+        "normalize_docs": Q.normalize_docs,
+        "events_value_histogram": Q.events_value_histogram,
+        "snapshot_diff_docs": Q.snapshot_diff_docs,
+        "top_bigrams": Q.top_bigrams,
+        "quality_by_source": Q.quality_by_source,
     }
 
 
@@ -832,6 +837,69 @@ def local_oracle_sql() -> dict[str, str]:
             "AS BIGINT) FROM documents "
             "UNION ALL SELECT 'dup_doc_id', "
             "CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents"
+        ),
+        "normalize_docs": (
+            "WITH n AS (SELECT doc_id, text, trim(regexp_replace("
+            "lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm_text "
+            "FROM documents) "
+            "SELECT doc_id, norm_text, "
+            "CAST(length(norm_text) AS BIGINT) AS n_chars_norm, "
+            "norm_text <> text AS changed FROM n"
+        ),
+        "events_value_histogram": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events) "
+            "SELECT event_type, CAST(floor(cents / 500.0) AS BIGINT) AS bin, "
+            "CAST(floor(cents / 500.0) AS BIGINT) * 500 AS bin_lo_cents, "
+            "CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2, 3"
+        ),
+        "snapshot_diff_docs": (
+            # both snapshots derive deterministically from documents; the
+            # Ray side compares 8-byte blake2b content hashes, SQL compares
+            # the text itself — equal unless blake2b collides
+            "WITH cur AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 11 <> 5), "
+            "prev AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+            "THEN text || ' OLD' ELSE text END AS text FROM documents "
+            "WHERE doc_id % 10 <> 9) "
+            "SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id, "
+            "CASE WHEN p.doc_id IS NULL THEN 'added' "
+            "WHEN c.doc_id IS NULL THEN 'removed' "
+            "WHEN c.text <> p.text THEN 'changed' "
+            "ELSE 'unchanged' END AS status "
+            "FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id"
+        ),
+        "top_bigrams": (
+            "WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') "
+            "AS t FROM documents), "
+            "g AS (SELECT t[i] || ' ' || t[i+1] AS bigram "
+            "FROM tok, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2) "
+            "SELECT bigram, count(*) AS n FROM g GROUP BY bigram "
+            "ORDER BY n DESC, bigram LIMIT 20"
+        ),
+        "quality_by_source": (
+            # per-doc quality replayed exactly as the quality_docs oracle,
+            # quantized to fixed point so the grouped sum is exact integers
+            "WITH s AS (SELECT source, "
+            "CAST(length(text) AS DOUBLE) AS n_chars, "
+            "CAST(len(regexp_extract_all(text, '[^\\s]+')) AS DOUBLE) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct, "
+            "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digits, "
+            "CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) AS n_alpha "
+            "FROM documents), "
+            "r AS (SELECT source, "
+            "n_alpha / greatest(n_chars, 1.0) AS alpha_ratio, "
+            "n_punct / greatest(n_tokens, 1.0) AS punct_ratio, "
+            "n_digits / greatest(n_chars, 1.0) AS digit_ratio, "
+            "n_chars / greatest(n_tokens, 1.0) AS mean_token_len FROM s), "
+            "q AS (SELECT source, CAST(floor((alpha_ratio * "
+            "((1.0 - least(digit_ratio, 1.0)) * "
+            "(0.5 + 0.5 * CAST(mean_token_len >= 3.0 AND mean_token_len <= 12.0 "
+            "AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) AS qfp FROM r) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(qfp) AS BIGINT) AS sum_q_fp, "
+            "CAST(sum(qfp) AS DOUBLE) / greatest(count(*), 1) AS mean_q_fp "
+            "FROM q GROUP BY source"
         ),
         "user_funnel_stages": (
             # strictly-increasing first-occurrence chain signup>view>click>

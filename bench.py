@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     "orders_lineitem_join_bloom",  # r4: bloom-prefiltered join (big-big shape)
     "weighted_sample_docs",        # r4: deterministic weighted priority sample
     "validate_docs",               # r4: data-validation audit partials
+    "normalize_docs",              # r4: unicode NFC + case/space canonicalization
+    "events_value_histogram",      # r4: fixed-bin histogram from composite partials
+    "snapshot_diff_docs",          # r4: crawl-delta diff via tagged-union partition
+    "top_bigrams",                 # r4: distributed bigram counts + local top-k
+    "quality_by_source",           # r4: fixed-point quality rollup per source
 ]
 HEADLINE = "neardup_pages_bench"
 

@@ -3843,3 +3843,277 @@ def validate_docs(sf_dir: str):
          pa.table({"rule": pa.array(["dup_doc_id"], pa.string()),
                    "n_violations": pa.array([int(dup or 0)], pa.int64())})]
     )
+
+
+# ---------------------------------------------------------------------------
+# r4 (cont.): text normalization, histograms, snapshot diff, bigram counts,
+# grouped quality rollup
+# ---------------------------------------------------------------------------
+
+
+def _arrow_nfc_works() -> bool:
+    """pyarrow 16.1's ``utf8_normalize(form="NFC")`` decomposes but never
+    RE-composes (output of a decomposed 'é' stays two codepoints — not NFC),
+    so it disagrees with DuckDB's ``nfc_normalize``. Probe once; prefer the
+    vectorized kernel on builds where it is fixed."""
+    import unicodedata
+
+    out = pc.utf8_normalize(pa.array(["Café"]), form="NFC")[0].as_py()
+    return unicodedata.is_normalized("NFC", out)
+
+
+_ARROW_NFC_OK = _arrow_nfc_works()
+
+
+def normalize_docs(sf_dir: str):
+    """Unicode text normalization — the canonicalization pass every text
+    corpus runs before hashing/dedup: NFC-normalize, lowercase, collapse
+    whitespace runs to one space, trim. Lower/collapse/trim are vectorized
+    Arrow kernels; the NFC step uses ``pc.utf8_normalize`` where the build
+    composes correctly (see ``_arrow_nfc_works`` — pyarrow 16.1 does not)
+    and otherwise falls back to per-row C ``unicodedata`` only for rows not
+    already NFC (web text is overwhelmingly NFC, so the fallback touches
+    almost nothing). DuckDB replays the identical composition
+    (``nfc_normalize``/``lower``/``regexp_replace``/``trim``), pinned
+    byte-identical on planted unicode in tests. ``changed`` flags rows the
+    pass actually rewrote."""
+    import unicodedata
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _nfc(col: pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+        if _ARROW_NFC_OK:
+            return pc.utf8_normalize(col, form="NFC")
+        vals = col.to_pylist()
+        return pa.array(
+            [v if v is None or unicodedata.is_normalized("NFC", v)
+             else unicodedata.normalize("NFC", v) for v in vals],
+            pa.string(),
+        )
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(_nfc(text)), r"\s+", " "
+            )
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "norm_text": norm,
+             "n_chars_norm": pc.cast(pc.utf8_length(norm), pa.int64()),
+             "changed": pc.not_equal(norm, text)}
+        )
+
+    return ds.map_batches(_norm, batch_format="pyarrow", batch_size=None)
+
+
+def events_value_histogram(sf_dir: str, width_cents: int = 500):
+    """Fixed-width value histogram per event type: exact integer cents
+    (``floor(value·100 + 0.5)``), bin = floor-division by the bin width.
+    Per-batch partials collapse each batch to ≤ types × bins rows before the
+    (tiny) composite groupby — the lineitem_agg partial shape; the events
+    table never shuffles. Works for negative values too (numpy ``//`` and
+    SQL ``floor(x/w)`` both floor toward −∞)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+    w = int(width_cents)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        bins = cents // w
+        t = pa.table(
+            {"event_type": batch.column("event_type"),
+             "bin": pa.array(bins, pa.int64())}
+        ).group_by(["event_type", "bin"]).aggregate([([], "count_all")])
+        return t.rename_columns(
+            ["p_n" if c == "count_all" else c for c in t.column_names]
+        )
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def _lo(batch: pa.Table) -> pa.Table:
+        b = batch.column("bin").to_numpy(zero_copy_only=False)
+        return batch.append_column("bin_lo_cents", pa.array(b * w, pa.int64()))
+
+    return out.map_batches(_lo, batch_format="pyarrow", batch_size=None)
+
+
+def snapshot_diff_docs(sf_dir: str):
+    """Snapshot delta — the between-crawls diff an incremental corpus keeps:
+    classify every doc_id as added / removed / changed / unchanged between a
+    previous and the current snapshot. Both snapshots derive deterministically
+    from the documents table (current drops ``id % 11 = 5``; previous drops
+    ``id % 10 = 9`` and carries an older text for ``id % 7 = 0``), so the
+    oracle's FULL OUTER JOIN replays exactly. Scale shape: ONE read pass
+    emits both sides' (doc_id, side, content-hash) rows — 25-byte rows, text
+    never shuffles — then a single range partition on doc_id classifies each
+    group vectorized (presence mask + hash equality), the tagged-union
+    alternative to a two-sided shuffle join."""
+    import hashlib
+
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _sides(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        hs = [hashlib.blake2b((t or "").encode(), digest_size=8).digest()
+              for t in texts]
+        old = [
+            hashlib.blake2b(((t or "") + " OLD").encode(), digest_size=8).digest()
+            if i % 7 == 0 else h
+            for i, t, h in zip(ids.tolist(), texts, hs)
+        ]
+        cur = ids % 11 != 5
+        prev = ids % 10 != 9
+        return pa.table(
+            {"doc_id": pa.array(np.r_[ids[cur], ids[prev]], pa.int64()),
+             "side": pa.array(
+                 np.r_[np.zeros(int(cur.sum()), np.int8),
+                       np.ones(int(prev.sum()), np.int8)], pa.int8()),
+             "h": pa.array(
+                 [h for h, m in zip(hs, cur) if m]
+                 + [h for h, m in zip(old, prev) if m],
+                 pa.binary(8))}
+        )
+
+    rows = ds.map_batches(_sides, batch_format="pyarrow", batch_size=None)
+
+    def _classify(block: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "status": pa.array([], pa.string())})
+        if block.num_rows == 0:
+            return empty
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        side = block.column("side").to_numpy(zero_copy_only=False)
+        hs = np.asarray(block.column("h").to_pylist(), dtype=object)
+        o = np.lexsort((side, ids))
+        ids, side, hs = ids[o], side[o], hs[o]
+        gstart = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        glen = np.diff(np.r_[gstart, len(ids)])
+        # each group has 1 row (one side) or 2 rows (cur first — side asc)
+        both = glen == 2
+        lone_side = side[gstart]
+        h_cur = hs[gstart]
+        h_prev = hs[np.minimum(gstart + 1, len(ids) - 1)]
+        status = np.where(
+            both,
+            np.where(h_cur == h_prev, "unchanged", "changed"),
+            np.where(lone_side == 0, "added", "removed"),
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids[gstart], pa.int64()),
+             "status": pa.array(status.tolist(), pa.string())}
+        )
+
+    return sorted_group_apply(rows, "doc_id", _classify)
+
+
+def top_bigrams(sf_dir: str, k: int = 20):
+    """Top-k adjacent word bigrams across the corpus — the n-gram LM count
+    companion to ``top_tokens``, same fully-distributed shape: per-batch
+    exact partials → ``groupby(bigram).sum`` (each bigram's total in exactly
+    one block) → per-block top-k pruning → driver merges k × n_blocks rows,
+    never the bigram vocabulary. Ties break bigram-ascending; tokenizer is
+    the audit-family ASCII regex."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks = pat.findall((t or "").lower())
+            grams.extend(
+                [a + " " + b for a, b in zip(toks, toks[1:])]
+            )
+        if not grams:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.asarray(grams), return_counts=True)
+        return pa.table({"bigram": pa.array(uniq.tolist(), pa.string()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    totals = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _local_topk(block: pa.Table) -> pa.Table:
+        if block.num_rows <= k:
+            return block
+        n = block.column("n").to_numpy(zero_copy_only=False)
+        g = np.asarray(block.column("bigram").to_pylist(), dtype=object)
+        order = np.lexsort((g, -n))[:k]
+        return block.take(pa.array(np.sort(order)))
+
+    pruned = totals.map_batches(_local_topk, batch_format="pyarrow", batch_size=None)
+    cand = pa.concat_tables(
+        list(pruned.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        or [pa.table({"bigram": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})]
+    )
+    items = sorted(
+        zip(cand.column("bigram").to_pylist(), cand.column("n").to_pylist()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:k]
+    return pa.table(
+        {"bigram": pa.array([g for g, _ in items], pa.string()),
+         "n": pa.array([int(n) for _, n in items], pa.int64())}
+    )
+
+
+def quality_by_source(sf_dir: str):
+    """Per-source quality rollup: the Gopher-style per-doc quality score
+    (bit-identical floats, see ``quality_docs``) quantized to exact fixed
+    point (``floor(score·10⁶ + 0.5)``), then summed per source — integer
+    sums are order-independent, so the grouped aggregate is bit-identical to
+    SQL, unlike a float mean reduced in arbitrary order. ``mean_q_fp`` is
+    ONE final IEEE division of exact ints. Per-batch partials collapse each
+    batch to one row per source before the tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        q = quality_score_table(batch.column("text"))["quality_score"]
+        qfp = np.floor(
+            q.to_numpy(zero_copy_only=False) * 1_000_000.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {"source": batch.column("source"),
+             "q_fp": pa.array(qfp, pa.int64())}
+        ).group_by("source").aggregate([("q_fp", "sum"), ([], "count_all")])
+        ren = {"q_fp_sum": "p_q", "count_all": "p_n"}
+        return t.rename_columns([ren.get(c, c) for c in t.column_names])
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("source")
+        .aggregate(Sum("p_q", alias_name="sum_q_fp"), Sum("p_n", alias_name="n_docs"))
+    )
+
+    def _mean(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum_q_fp").to_numpy(zero_copy_only=False)
+        n = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"source": batch.column("source"),
+             "n_docs": pc.cast(batch.column("n_docs"), pa.int64()),
+             "sum_q_fp": pc.cast(batch.column("sum_q_fp"), pa.int64()),
+             "mean_q_fp": pa.array(s / np.maximum(n, 1), pa.float64())}
+        )
+
+    return out.map_batches(_mean, batch_format="pyarrow", batch_size=None)

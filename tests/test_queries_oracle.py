@@ -687,3 +687,96 @@ def test_lineitem_rollup_levels_consistent(entrymod, ray_session):
     for flag, grp in fine.groupby("l_returnflag"):
         row = mid[mid.l_returnflag == flag]
         assert int(row.n.iloc[0]) == int(grp.n.sum())
+
+
+def test_normalize_docs_planted_unicode(entrymod, tmp_path):
+    """The shared testdata is ASCII, so the normalize oracle there proves
+    little; this corpus plants composed/decomposed accents (NFC must merge
+    e+combining-acute with é), unicode uppercase, tab/newline runs, and
+    leading/trailing space — pyarrow(utf8proc) and DuckDB must agree
+    byte-for-byte."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "Café  vs Café",      # NFC: both sides become café
+        "\tTabs\n and  newlines ",
+        "ÉCOLE Française",
+        "already normal",
+        "",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ray_df = _to_pandas(entrymod.queries()["normalize_docs"](str(tmp_path)))
+    sql_df = c.execute(entrymod.local_oracle_sql()["normalize_docs"]).fetchdf()
+    _compare(ray_df, sql_df, "normalize_docs_planted")
+    by_id = dict(zip(ray_df["doc_id"], ray_df["norm_text"]))
+    assert by_id[0] == "café vs café"
+    assert by_id[1] == "tabs and newlines"
+    assert bool(ray_df.set_index("doc_id")["changed"][3]) is False
+
+
+def test_events_value_histogram_negative_bins(entrymod, tmp_path):
+    """Floor-division parity on NEGATIVE values: numpy ``//`` floors toward
+    −∞ and the oracle's floor(cents/width) must land in the same bin (a
+    truncating division would disagree on every negative non-multiple)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = [-12.34, -5.0, -0.01, 0.0, 0.01, 4.99, 5.0, 12.34, -4.995]
+    n = len(vals)
+    tbl = pa.table(
+        {"event_id": pa.array(list(range(n)), pa.int64()),
+         "ts": pa.array([np.datetime64("2024-01-01T00:00:00", "us")] * n),
+         "user_id": pa.array([1] * n, pa.int64()),
+         "event_type": pa.array(["x"] * n, pa.string()),
+         "value": pa.array(vals, pa.float64()),
+         "props": pa.array(["{}"] * n, pa.string())}
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    ray_df = _to_pandas(entrymod.queries()["events_value_histogram"](str(tmp_path)))
+    sql_df = c.execute(entrymod.local_oracle_sql()["events_value_histogram"]).fetchdf()
+    _compare(ray_df, sql_df, "events_value_histogram_negative")
+    bins = dict(zip(ray_df["bin"], ray_df["n"]))
+    assert bins[-3] == 1          # -12.34 → -1234 cents → bin -3
+    assert bins[-1] == 3          # -5.0, -0.01, -4.995
+    assert bins[0] == 3           # 0.0, 0.01, 4.99
+    assert bins[1] == 1           # 5.0 is exactly 500 cents → bin 1
+    assert bins[2] == 1           # 12.34
+
+
+def test_snapshot_diff_all_statuses(entrymod, ray_session):
+    """The deterministic snapshot rules must yield every status, with counts
+    derivable from the id arithmetic on the real table."""
+    import pyarrow.parquet as pq
+
+    from dedupe_ray.pipelines.queries import snapshot_diff_docs
+
+    ids = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+    expect = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+    for i in ids:
+        cur, prev = i % 11 != 5, i % 10 != 9
+        if cur and not prev:
+            expect["added"] += 1
+        elif prev and not cur:
+            expect["removed"] += 1
+        elif cur and prev:
+            expect["changed" if i % 7 == 0 else "unchanged"] += 1
+    df = _to_pandas(snapshot_diff_docs(SF_DIR))
+    got = df["status"].value_counts().to_dict()
+    assert got == {k: v for k, v in expect.items() if v > 0}
+    assert all(v > 0 for v in expect.values())
