@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff_docs": Q.snapshot_diff_docs,
         "top_bigrams": Q.top_bigrams,
         "quality_by_source": Q.quality_by_source,
+        "events_value_percent_rank": Q.events_value_percent_rank,
+        "segment_rewrite_docs": Q.segment_rewrite_docs,
+        "cross_source_tokens": Q.cross_source_tokens,
     }
 
 
@@ -900,6 +903,36 @@ def local_oracle_sql() -> dict[str, str]:
             "CAST(sum(qfp) AS BIGINT) AS sum_q_fp, "
             "CAST(sum(qfp) AS DOUBLE) / greatest(count(*), 1) AS mean_q_fp "
             "FROM q GROUP BY source"
+        ),
+        "events_value_percent_rank": (
+            # ranks by the SAME integer cents the Ray side buckets on;
+            # count_below/(n-1) is one IEEE division of exact ints
+            "SELECT event_id, event_type, percent_rank() OVER "
+            "(PARTITION BY event_type ORDER BY "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT)) AS pr FROM events"
+        ),
+        "segment_rewrite_docs": (
+            "WITH sp AS (SELECT doc_id, string_split(text, '. ') AS t "
+            "FROM documents WHERE text IS NOT NULL), "
+            "seg AS (SELECT doc_id, t[i] AS s, i FROM sp, "
+            "UNNEST(range(1, len(t) + 1)) AS u(i)), "
+            "cnt AS (SELECT s, count(*) AS c FROM seg GROUP BY s), "
+            "rep AS (SELECT s FROM cnt WHERE c >= 3), "
+            "kept AS (SELECT doc_id, s, i FROM seg "
+            "WHERE s NOT IN (SELECT s FROM rep)), "
+            "rb AS (SELECT doc_id, string_agg(s, '. ' ORDER BY i) AS ct, "
+            "CAST(count(*) AS BIGINT) AS nk FROM kept GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(ct, '') AS clean_text, "
+            "COALESCE(nk, 0) AS n_kept_segments "
+            "FROM documents d LEFT JOIN rb USING (doc_id)"
+        ),
+        "cross_source_tokens": (
+            "WITH tok AS (SELECT COALESCE(source, '') AS source, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t "
+            "FROM documents) "
+            "SELECT t AS token, CAST(count(DISTINCT source) AS BIGINT) "
+            "AS n_sources, CAST(count(*) AS BIGINT) AS n_total "
+            "FROM tok GROUP BY t HAVING count(DISTINCT source) >= 3"
         ),
         "user_funnel_stages": (
             # strictly-increasing first-occurrence chain signup>view>click>

@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "snapshot_diff_docs",          # r4: crawl-delta diff via tagged-union partition
     "top_bigrams",                 # r4: distributed bigram counts + local top-k
     "quality_by_source",           # r4: fixed-point quality rollup per source
+    "events_value_percent_rank",   # r4: shuffle-free window rank via histogram broadcast
+    "segment_rewrite_docs",        # r4: C4 boilerplate removal (rewrite pass)
+    "cross_source_tokens",         # r4: distinct-source tokens via pair partials
 ]
 HEADLINE = "neardup_pages_bench"
 

@@ -3641,7 +3641,12 @@ def orders_lineitem_join_bloom(sf_dir: str, m_bits: int = 1 << 20, k_hashes: int
         keep = batch.filter(pc.equal(batch.column("o_orderpriority"), "1-URGENT"))
         return keep.select(["o_orderkey", "o_orderdate"])
 
-    urgent = orders.map_batches(_urgent, batch_format="pyarrow", batch_size=None)
+    # materialize the (predicate-filtered, bounded) build side ONCE — it is
+    # consumed twice below (bloom partials + exact-stage collect); same
+    # boundedness contract as the broadcast join's small side
+    urgent = orders.map_batches(
+        _urgent, batch_format="pyarrow", batch_size=None
+    ).materialize()
     words = m_bits >> 6
     seed2 = np.uint64(0x9E3779B97F4A7C15)
 
@@ -4117,3 +4122,214 @@ def quality_by_source(sf_dir: str):
         )
 
     return out.map_batches(_mean, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# r4 (cont.): percent-rank normalization, C4 segment rewrite, cross-source
+# token stats
+# ---------------------------------------------------------------------------
+
+
+def events_value_percent_rank(sf_dir: str):
+    """Per-row PERCENT_RANK within each event type — rank normalization for
+    feature scaling — computed WITHOUT sorting the data: the bounded-distinct
+    value-histogram partials (the ``events_value_quantiles`` shape) merge on
+    the driver into per-type (sorted cents, count-below, n) maps, broadcast
+    once; a second streaming pass assigns each row
+    ``count_below / (n - 1)`` by searchsorted. count_below and n−1 are
+    exact ints, so the single IEEE division is bit-identical to the SQL
+    window oracle (which ranks by the same integer cents)."""
+    ds = read_table(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _cents_of(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return et, cents
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        et, cents = _cents_of(batch)
+        o = np.lexsort((cents, et))
+        et, cents = et[o], cents[o]
+        new = np.r_[True, (et[1:] != et[:-1]) | (cents[1:] != cents[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(et)])
+        return pa.table(
+            {"event_type": pa.array(et[starts].tolist(), pa.string()),
+             "cents": pa.array(cents[starts], pa.int64()),
+             "c": pa.array(n, pa.int64())}
+        )
+
+    hist = pa.concat_tables(
+        list(
+            ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"event_type": pa.array([], pa.string()),
+                      "cents": pa.array([], pa.int64()),
+                      "c": pa.array([], pa.int64())})]
+    )
+    et = np.asarray(hist.column("event_type").to_pylist(), dtype=object)
+    cents = hist.column("cents").to_numpy(zero_copy_only=False)
+    c = hist.column("c").to_numpy(zero_copy_only=False)
+    maps: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for t in np.unique(et) if len(et) else []:
+        m = et == t
+        tc, tn = cents[m], c[m]
+        o = np.argsort(tc, kind="stable")
+        tc, tn = tc[o], tn[o]
+        starts = np.flatnonzero(np.r_[True, tc[1:] != tc[:-1]])
+        uc = tc[starts]
+        un = np.add.reduceat(tn, starts)
+        below = np.r_[np.int64(0), np.cumsum(un)[:-1]]
+        maps[t] = (uc, below, int(un.sum()))
+    mref = ray.put(maps)
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        mm = ray.get(mref)
+        et, cents = _cents_of(batch)
+        pr = np.zeros(len(et), np.float64)
+        for t in np.unique(et) if len(et) else []:
+            uc, below, n = mm[t]
+            sel = et == t
+            pos = np.searchsorted(uc, cents[sel])
+            pr[sel] = below[pos] / (n - 1) if n > 1 else 0.0
+        return pa.table(
+            {"event_id": batch.column("event_id"),
+             "event_type": pa.array(et.tolist(), pa.string()),
+             "pr": pa.array(pr, pa.float64())}
+        )
+
+    return ds.map_batches(_rank, batch_format="pyarrow", batch_size=None)
+
+
+def segment_rewrite_docs(sf_dir: str, min_count: int = 3):
+    """C4-style repeated-segment REMOVAL (the rewrite companion to
+    ``segment_dedup_docs``'s detection): drop every segment occurring ≥
+    ``min_count`` times corpus-wide and re-join the survivors with the
+    original '. ' separator. Same two phases — distributed segment counts,
+    thresholded repeated-segment vocabulary broadcast once — plus a
+    streaming rewrite pass; at 10¹² docs the broadcast side becomes hashed
+    segments (the phase structure is unchanged)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _seg_partial(batch: pa.Table) -> pa.Table:
+        segs: list[str] = []
+        for t in batch.column("text").to_pylist():
+            if t is not None:
+                segs.extend(t.split(". "))
+        if not segs:
+            return pa.table({"s": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.asarray(segs, dtype=object), return_counts=True)
+        return pa.table({"s": pa.array(uniq.tolist(), pa.string()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    totals = (
+        ds.map_batches(_seg_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("s")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    rep_parts = list(
+        totals.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("c"), min_count)).select(["s"]),
+            batch_format="pyarrow", batch_size=None,
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    rep = (
+        np.sort(np.asarray(pa.concat_tables(rep_parts).column("s").to_pylist()))
+        if rep_parts
+        else np.asarray([], dtype=object)
+    )
+    rep_ref = ray.put(rep)
+
+    def _rewrite(batch: pa.Table) -> pa.Table:
+        r = ray.get(rep_ref)
+        out, kept = [], []
+        for t in batch.column("text").to_pylist():
+            if t is None:
+                out.append("")
+                kept.append(0)
+                continue
+            segs = np.asarray(t.split(". "), dtype=object)
+            keep = ~np.isin(segs, r) if len(r) else np.ones(len(segs), bool)
+            out.append(". ".join(segs[keep].tolist()))
+            kept.append(int(keep.sum()))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "clean_text": pa.array(out, pa.string()),
+             "n_kept_segments": pa.array(kept, pa.int64())}
+        )
+
+    return ds.map_batches(_rewrite, batch_format="pyarrow", batch_size=None)
+
+
+def cross_source_tokens(sf_dir: str, min_sources: int = 3):
+    """Tokens shared across ≥ ``min_sources`` distinct sources — the
+    cross-domain vocabulary a corpus curator inspects (boilerplate vs
+    domain-specific terms). Per-batch partials pre-dedupe to distinct
+    (token, source) pairs with counts, so the single sort moves ≤
+    vocabulary × min(sources, blocks) rows (never the corpus); one range
+    partition on token, then vectorized per-token distinct-source counting
+    (adjacency over the sorted block)."""
+    import re
+
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        srcs: list[str] = []
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            tt = pat.findall((t or "").lower())
+            toks.extend(tt)
+            srcs.extend([s or ""] * len(tt))
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        ta = np.asarray(toks, dtype=object)
+        sa = np.asarray(srcs, dtype=object)
+        o = np.lexsort((sa, ta))
+        ta, sa = ta[o], sa[o]
+        new = np.r_[True, (ta[1:] != ta[:-1]) | (sa[1:] != sa[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(ta)])
+        return pa.table(
+            {"token": pa.array(ta[starts].tolist(), pa.string()),
+             "source": pa.array(sa[starts].tolist(), pa.string()),
+             "c": pa.array(n, pa.int64())}
+        )
+
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    pairs = ds.map_batches(_pair_partial, batch_format="pyarrow", batch_size=None)
+
+    def _per_token(block: pa.Table) -> pa.Table:
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "n_sources": pa.array([], pa.int64()),
+                          "n_total": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        ta = np.asarray(block.column("token").to_pylist(), dtype=object)
+        sa = np.asarray(block.column("source").to_pylist(), dtype=object)
+        c = block.column("c").to_numpy(zero_copy_only=False)
+        o = np.lexsort((sa, ta))
+        ta, sa, c = ta[o], sa[o], c[o]
+        tstart = np.flatnonzero(np.r_[True, ta[1:] != ta[:-1]])
+        # distinct sources per token: count (token, source) adjacency starts
+        pair_new = np.r_[True, (ta[1:] != ta[:-1]) | (sa[1:] != sa[:-1])]
+        nsrc = np.add.reduceat(pair_new.astype(np.int64), tstart)
+        ntot = np.add.reduceat(c, tstart)
+        keep = nsrc >= min_sources
+        return pa.table(
+            {"token": pa.array(ta[tstart][keep].tolist(), pa.string()),
+             "n_sources": pa.array(nsrc[keep], pa.int64()),
+             "n_total": pa.array(ntot[keep], pa.int64())}
+        )
+
+    return sorted_group_apply(pairs, "token", _per_token)

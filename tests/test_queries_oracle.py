@@ -780,3 +780,38 @@ def test_snapshot_diff_all_statuses(entrymod, ray_session):
     got = df["status"].value_counts().to_dict()
     assert got == {k: v for k, v in expect.items() if v > 0}
     assert all(v > 0 for v in expect.values())
+
+
+def test_segment_rewrite_planted_boilerplate(entrymod, tmp_path):
+    """Rewrite must drop exactly the ≥3-occurrence boilerplate segment,
+    keep the 2-occurrence one, preserve segment order, and agree with the
+    SQL string_agg rebuild byte-for-byte (incl. a null-text row and a doc
+    whose every segment is boilerplate)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bp = "subscribe to our newsletter"
+    texts = [
+        f"alpha one. {bp}. beta two",
+        f"{bp}. gamma three. twice seen",
+        f"delta four. {bp}. twice seen",
+        bp,
+        None,
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ray_df = _to_pandas(entrymod.queries()["segment_rewrite_docs"](str(tmp_path)))
+    sql_df = c.execute(entrymod.local_oracle_sql()["segment_rewrite_docs"]).fetchdf()
+    _compare(ray_df, sql_df, "segment_rewrite_planted")
+    by_id = dict(zip(ray_df["doc_id"], ray_df["clean_text"]))
+    assert by_id[0] == "alpha one. beta two"
+    assert by_id[1] == "gamma three. twice seen"
+    assert by_id[3] == ""      # all-boilerplate doc empties out
+    assert by_id[4] == ""      # null text
