@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percent_rank": Q.events_value_percent_rank,
         "segment_rewrite_docs": Q.segment_rewrite_docs,
         "cross_source_tokens": Q.cross_source_tokens,
+        "revenue_by_mktsegment": Q.revenue_by_mktsegment,
+        "events_moving_avg": Q.events_moving_avg,
+        "customer_urgent_order_counts": Q.customer_urgent_order_counts,
     }
 
 
@@ -933,6 +936,33 @@ def local_oracle_sql() -> dict[str, str]:
             "SELECT t AS token, CAST(count(DISTINCT source) AS BIGINT) "
             "AS n_sources, CAST(count(*) AS BIGINT) AS n_total "
             "FROM tok GROUP BY t HAVING count(DISTINCT source) >= 3"
+        ),
+        "revenue_by_mktsegment": (
+            # exact fixed-point revenue: cents(price) × (100 − pct-cents
+            # (discount)) — integer sums are order-independent both engines
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_items, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+            "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) "
+            "AS BIGINT) AS revenue_fp "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "events_moving_avg": (
+            "WITH c AS (SELECT event_id, user_id, ts, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS roll_n, "
+            "CAST(sum(cents) OVER w AS BIGINT) AS roll_sum_cents, "
+            "CAST(sum(cents) OVER w AS DOUBLE) / (count(*) OVER w) AS roll_avg "
+            "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        ),
+        "customer_urgent_order_counts": (
+            "SELECT c_custkey, c_name, c_mktsegment, "
+            "CAST(count(o_custkey) AS BIGINT) AS n_urgent "
+            "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT' "
+            "GROUP BY c_custkey, c_name, c_mktsegment"
         ),
         "user_funnel_stages": (
             # strictly-increasing first-occurrence chain signup>view>click>

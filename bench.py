@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "events_value_percent_rank",   # r4: shuffle-free window rank via histogram broadcast
     "segment_rewrite_docs",        # r4: C4 boilerplate removal (rewrite pass)
     "cross_source_tokens",         # r4: distinct-source tokens via pair partials
+    "revenue_by_mktsegment",       # r4: star-schema agg pushdown (fact never shuffles)
+    "events_moving_avg",           # r4: rolling window via clamped cumsum
+    "customer_urgent_order_counts",  # r4: left-join counts via broadcast partials
 ]
 HEADLINE = "neardup_pages_bench"
 

@@ -4333,3 +4333,202 @@ def cross_source_tokens(sf_dir: str, min_sources: int = 3):
         )
 
     return sorted_group_apply(pairs, "token", _per_token)
+
+
+# ---------------------------------------------------------------------------
+# r4 (cont.): star-schema aggregate pushdown, rolling windows, left-join counts
+# ---------------------------------------------------------------------------
+
+
+def revenue_by_mktsegment(sf_dir: str):
+    """Star-schema aggregation (TPC-H Q3 family) with the 100 TB shape: the
+    fact table NEVER shuffles — both dimension joins become broadcast maps
+    (orderkey→custkey from orders, custkey→segment from customer, each
+    collapsed to sorted key arrays and shipped once via ``ray.put``), and
+    lineitem streams ONE pass stamping the segment by two searchsorted
+    lookups and collapsing each batch to per-segment partials. Revenue is
+    exact fixed point — ``cents(price) × (100 − cents_pct(discount))`` —
+    so the grouped int64 sum is order-independent and bit-identical to SQL
+    (int64 headroom ~2×10⁵ larger than the sf0.1 total; at larger scale
+    the partial column widens to two int64 limbs, same shape)."""
+    from ray.data.aggregate import Sum
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def _collect(ds_, cols):
+        return pa.concat_tables(
+            list(ds_.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+            or [pa.table({c: pa.array([], pa.int64()) for c in cols})]
+        )
+
+    ot = _collect(orders, ["o_orderkey", "o_custkey"])
+    ok = ot.column("o_orderkey").to_numpy(zero_copy_only=False)
+    oc = ot.column("o_custkey").to_numpy(zero_copy_only=False)
+    oo = np.argsort(ok, kind="stable")
+    ct = _collect(cust, ["c_custkey", "c_mktsegment"])
+    ck = ct.column("c_custkey").to_numpy(zero_copy_only=False)
+    cs = np.asarray(ct.column("c_mktsegment").to_pylist(), dtype=object)
+    co = np.argsort(ck, kind="stable")
+    # factorize the segment dimension: per-customer SMALL-INT codes ride the
+    # broadcast; the hot loop never touches strings (an object-dtype argsort
+    # over 600k segment strings was the stage cost before this)
+    seg_names, ccode = np.unique(cs[co], return_inverse=True)
+    ref = ray.put((ok[oo], oc[oo], ck[co], ccode.astype(np.int64),
+                   len(seg_names)))
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        bok, boc, bck, bcode, nseg = ray.get(ref)
+        k = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        price_c = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        disc_c = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        custk = boc[np.searchsorted(bok, k)]
+        code = bcode[np.searchsorted(bck, custk)]
+        n = np.bincount(code, minlength=nseg).astype(np.int64)
+        # per-code exact partial sums: integer bincount via reduceat over
+        # the (cheap, int) code sort
+        o = np.argsort(code, kind="stable")
+        srt = code[o]
+        starts = np.searchsorted(srt, np.arange(nseg))
+        csum = np.r_[np.int64(0), np.cumsum(rev[o])]
+        bounds = np.r_[starts, len(srt)]
+        sums = csum[bounds[1:]] - csum[bounds[:-1]]
+        return pa.table(
+            {"seg_code": pa.array(np.arange(nseg), pa.int64()),
+             "p_n": pa.array(n, pa.int64()),
+             "p_rev": pa.array(sums, pa.int64())}
+        )
+
+    agg = (
+        li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("seg_code")
+        .aggregate(Sum("p_n", alias_name="n_items"),
+                   Sum("p_rev", alias_name="revenue_fp"))
+    )
+
+    def _name(batch: pa.Table) -> pa.Table:
+        codes = batch.column("seg_code").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"c_mktsegment": pa.array(seg_names[codes].tolist(), pa.string()),
+             "n_items": pc.cast(batch.column("n_items"), pa.int64()),
+             "revenue_fp": pc.cast(batch.column("revenue_fp"), pa.int64())}
+        )
+
+    return agg.map_batches(_name, batch_format="pyarrow", batch_size=None)
+
+
+def events_moving_avg(sf_dir: str, w: int = 3):
+    """Rolling window (moving average over the last ``w`` events per user,
+    ordered by (ts, event_id)) — the ``events_cumulative`` shape: ONE
+    single-key range partition on user_id, then an in-block lexsort +
+    cumsum with group-clamped window starts (no per-row Python). Cents are
+    exact ints, so ``roll_sum_cents``/``roll_n`` are bit-exact and
+    ``roll_avg`` is one final IEEE division, identical to the SQL ROWS
+    BETWEEN w−1 PRECEDING window."""
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _roll(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "user_id": pa.array([], pa.int64()),
+             "roll_n": pa.array([], pa.int64()),
+             "roll_sum_cents": pa.array([], pa.int64()),
+             "roll_avg": pa.array([], pa.float64())}
+        )
+        if block.num_rows == 0:
+            return empty
+        eid = block.column("event_id").to_numpy(zero_copy_only=False)
+        uid = block.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            block.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        cents = np.floor(
+            block.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        o = np.lexsort((eid, ts, uid))
+        eid, uid, cents = eid[o], uid[o], cents[o]
+        n = len(uid)
+        gstart = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        glen = np.diff(np.r_[gstart, n])
+        head = np.repeat(gstart, glen)
+        idx = np.arange(n)
+        lo = np.maximum(head, idx - (w - 1))
+        csum = np.r_[np.int64(0), np.cumsum(cents)]
+        roll = csum[idx + 1] - csum[lo]
+        rn = idx - lo + 1
+        return pa.table(
+            {"event_id": pa.array(eid, pa.int64()),
+             "user_id": pa.array(uid, pa.int64()),
+             "roll_n": pa.array(rn, pa.int64()),
+             "roll_sum_cents": pa.array(roll, pa.int64()),
+             "roll_avg": pa.array(roll / rn, pa.float64())}
+        )
+
+    return sorted_group_apply(ds, "user_id", _roll)
+
+
+def customer_urgent_order_counts(sf_dir: str):
+    """LEFT-join grouped counts — every customer with its number of URGENT
+    orders, zero included (the outer-join companion to the anti-join
+    ``customers_without_urgent_orders``). The right side predicate-filters
+    and collapses to per-key count partials (bounded by |customers|),
+    merged and broadcast once; the customer table streams one searchsorted
+    lookup pass with default 0 — no shuffle of either side."""
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def _cnt_partial(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(
+            pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        )
+        k = keep.column("o_custkey").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    parts = pa.concat_tables(
+        list(
+            orders.map_batches(_cnt_partial, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"k": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})]
+    )
+    k = parts.column("k").to_numpy(zero_copy_only=False)
+    n = parts.column("n").to_numpy(zero_copy_only=False)
+    o = np.argsort(k, kind="stable")
+    k, n = k[o], n[o]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) if len(k) else np.array([], np.int64)
+    keys = k[starts] if len(k) else k
+    counts = np.add.reduceat(n, starts) if len(k) else n
+    ref = ray.put((keys, counts))
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def _stamp(batch: pa.Table) -> pa.Table:
+        bk, bn = ray.get(ref)
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        out = np.zeros(len(ck), np.int64)
+        if len(bk):
+            pos = np.searchsorted(bk, ck)
+            pos_c = np.minimum(pos, len(bk) - 1)
+            hit = bk[pos_c] == ck
+            out[hit] = bn[pos_c[hit]]
+        return batch.append_column("n_urgent", pa.array(out, pa.int64()))
+
+    return cust.map_batches(_stamp, batch_format="pyarrow", batch_size=None)
