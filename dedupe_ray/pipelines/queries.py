@@ -52,10 +52,22 @@ def _read_blocks(path: str) -> int:
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    # the metadata strip fuses into the read task — no extra stage
+    # pass a metadata-FREE (projected) schema to the reader: with
+    # override_num_blocks the read op itself (ReadParquet->SplitBlocks)
+    # hashes block schemas BEFORE any downstream strip stage could run, and
+    # parquet metadata makes schemas unhashable on pyarrow 16 (log spam +
+    # lost block-dedup fast path — the r2 strip-map fix regressed when r3
+    # added explicit block counts). The strip map stays as a belt for
+    # pandas-metadata written by intermediate stages.
+    import pyarrow.parquet as pq
+
     path = f"{sf_dir}/{name}.parquet"
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
     return ray.data.read_parquet(
-        path, columns=columns, override_num_blocks=_read_blocks(path)
+        path, columns=columns, schema=sch,
+        override_num_blocks=_read_blocks(path)
     ).map_batches(_strip_schema_metadata, batch_format="pyarrow", batch_size=None)
 
 

@@ -56,6 +56,32 @@ def coerce_pages_schema(batch: pa.Table) -> pa.Table:
     return pa.table(cols, schema=PAGES_SCHEMA)
 
 
+def _uniform_stripped_schema(paths: list[str], max_check: int = 32):
+    """Metadata-free common schema of a parquet file group, or None when
+    files disagree (mixed providers) or the group is too large to footer-
+    check cheaply — callers then fall back to Ray's own schema resolution
+    and the downstream coercion map."""
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            )
+        else:
+            files.append(p)
+    if not files or len(files) > max_check:
+        return None
+    try:
+        schemas = [pq.read_schema(f).remove_metadata() for f in files]
+    except Exception:
+        return None
+    first = schemas[0]
+    return first if all(s.equals(first) for s in schemas[1:]) else None
+
+
 def _parquet_blocks(paths: list[str]) -> int | None:
     """Explicit block count for parquet inputs (row count from file
     metadata): Ray's default 2×CPUs split makes tiny blocks whose ~50 ms
@@ -106,6 +132,13 @@ def read_pages(paths: list[str] | str) -> "ray.data.Dataset":
             nb = _parquet_blocks(group)
             if nb is not None:
                 kwargs["override_num_blocks"] = nb
+            sch = _uniform_stripped_schema(group)
+            if sch is not None:
+                # metadata-free schema at the source: with explicit block
+                # counts the read op hashes block schemas before any strip
+                # stage runs, and parquet metadata is unhashable on
+                # pyarrow 16 (see queries.read_table)
+                kwargs["schema"] = sch
         part = reader(group, **kwargs).map_batches(
             coerce_pages_schema, batch_format="pyarrow", batch_size=None
         )

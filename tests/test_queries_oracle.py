@@ -815,3 +815,26 @@ def test_segment_rewrite_planted_boilerplate(entrymod, tmp_path):
     assert by_id[1] == "gamma three. twice seen"
     assert by_id[3] == ""      # all-boilerplate doc empties out
     assert by_id[4] == ""      # null text
+
+
+def test_multiblock_doc_oracles_sf01(entrymod, ray_session):
+    """The documents table is ONE read block at sf0.001/sf0.01 (500 rows <
+    the 1k single-block threshold), so the main oracle gates never exercise
+    multi-block partial-merge paths for document queries. This pins a
+    representative subset at sf0.1 (5000 docs → 8 blocks): driver-merge
+    top-k (weighted sample), tagged-union range partition (snapshot diff),
+    pair-partial sort (cross-source), and the two-pipeline validation
+    audit."""
+    sf = "/root/testdata/sf0.1"
+    c = duckdb.connect()
+    for t in ("documents",):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    lo = entrymod.local_oracle_sql()
+    for name in ("weighted_sample_docs", "snapshot_diff_docs",
+                 "cross_source_tokens", "validate_docs"):
+        ray_df = _to_pandas(qs[name](sf))
+        sql_df = c.execute(lo[name]).fetchdf()
+        _compare(ray_df, sql_df, f"{name}@sf0.1")
