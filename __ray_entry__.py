@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_mktsegment": Q.revenue_by_mktsegment,
         "events_moving_avg": Q.events_moving_avg,
         "customer_urgent_order_counts": Q.customer_urgent_order_counts,
+        "events_anomaly_zscore": Q.events_anomaly_zscore,
+        "events_type_transitions": Q.events_type_transitions,
     }
 
 
@@ -963,6 +965,31 @@ def local_oracle_sql() -> dict[str, str]:
             "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT' "
             "GROUP BY c_custkey, c_name, c_mktsegment"
+        ),
+        "events_anomaly_zscore": (
+            # mean/std derived from EXACT integer moments; z is the same
+            # chain of single IEEE ops the Ray kernel applies
+            "WITH c AS (SELECT event_id, event_type, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events), "
+            "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(cents) AS BIGINT) AS s1, "
+            "CAST(sum(cents * cents) AS BIGINT) AS s2 "
+            "FROM c GROUP BY event_type), "
+            "st AS (SELECT event_type, CAST(s1 AS DOUBLE) / n AS mean, "
+            "CASE WHEN n > 1 THEN sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / "
+            "CAST(n * (n - 1) AS DOUBLE)) ELSE 0.0 END AS std FROM m) "
+            "SELECT c.event_id, c.event_type, "
+            "CASE WHEN st.std > 0 THEN (CAST(c.cents AS DOUBLE) - st.mean) "
+            "/ st.std ELSE 0.0 END AS z "
+            "FROM c JOIN st USING (event_type)"
+        ),
+        "events_type_transitions": (
+            "WITH d AS (SELECT user_id, event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+            "FROM events) "
+            "SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM d WHERE prev_type IS NOT NULL "
+            "GROUP BY prev_type, event_type"
         ),
         "user_funnel_stages": (
             # strictly-increasing first-occurrence chain signup>view>click>

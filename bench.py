@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "revenue_by_mktsegment",       # r4: star-schema agg pushdown (fact never shuffles)
     "events_moving_avg",           # r4: rolling window via clamped cumsum
     "customer_urgent_order_counts",  # r4: left-join counts via broadcast partials
+    "events_anomaly_zscore",       # r4: z-scores from exact-moment broadcast
+    "events_type_transitions",     # r4: Markov transition counts per user
 ]
 HEADLINE = "neardup_pages_bench"
 

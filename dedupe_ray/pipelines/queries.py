@@ -4544,3 +4544,138 @@ def customer_urgent_order_counts(sf_dir: str):
         return batch.append_column("n_urgent", pa.array(out, pa.int64()))
 
     return cust.map_batches(_stamp, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# r4 (cont.): anomaly scoring, sequence transitions
+# ---------------------------------------------------------------------------
+
+
+def events_anomaly_zscore(sf_dir: str):
+    """Per-event z-score against its type's mean/std — the anomaly-scoring
+    feature pass: ONE partial pass collects exact integer moments per type
+    (n, Σcents, Σcents²), the driver derives mean and the sample std from
+    exact ints (``std = sqrt((n·Σx² − (Σx)²) / (n·(n−1)))``) and broadcasts
+    the tiny per-type table; a second streaming pass assigns
+    ``z = (cents − mean) / std``. Every float is a chain of single
+    correctly-rounded IEEE ops over exact integers, replayed op-for-op by
+    the SQL oracle → bit-identical."""
+    ds = read_table(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _cents_of(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return et, cents
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        et, cents = _cents_of(batch)
+        o = np.argsort(et, kind="stable")
+        et, cents = et[o], cents[o]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        n = np.diff(np.r_[starts, len(et)])
+        return pa.table(
+            {"event_type": pa.array(et[starts].tolist(), pa.string()),
+             "n": pa.array(n, pa.int64()),
+             "s1": pa.array(np.add.reduceat(cents, starts), pa.int64()),
+             "s2": pa.array(np.add.reduceat(cents * cents, starts), pa.int64())}
+        )
+
+    mom = pa.concat_tables(
+        list(
+            ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"event_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "s1": pa.array([], pa.int64()),
+                      "s2": pa.array([], pa.int64())})]
+    )
+    et = np.asarray(mom.column("event_type").to_pylist(), dtype=object)
+    n = mom.column("n").to_numpy(zero_copy_only=False)
+    s1 = mom.column("s1").to_numpy(zero_copy_only=False)
+    s2 = mom.column("s2").to_numpy(zero_copy_only=False)
+    stats: dict[str, tuple[float, float]] = {}
+    for t in np.unique(et) if len(et) else []:
+        m = et == t
+        tn, t1, t2 = int(n[m].sum()), int(s1[m].sum()), int(s2[m].sum())
+        mean = t1 / tn
+        # cast numerator/denominator to double BEFORE dividing — the exact
+        # integer n·Σx²−(Σx)² can exceed 2^53, where Python's exact-rational
+        # int/int division differs from the oracle's CAST-then-divide by
+        # 1 ulp; float() is the same correctly-rounded cast as CAST AS DOUBLE
+        std = (
+            float(np.sqrt(float(tn * t2 - t1 * t1) / float(tn * (tn - 1))))
+            if tn > 1 else 0.0
+        )
+        stats[t] = (mean, std)
+    sref = ray.put(stats)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        st = ray.get(sref)
+        et, cents = _cents_of(batch)
+        z = np.zeros(len(et), np.float64)
+        for t in np.unique(et) if len(et) else []:
+            mean, std = st[t]
+            sel = et == t
+            z[sel] = (cents[sel] - mean) / std if std > 0 else 0.0
+        return pa.table(
+            {"event_id": batch.column("event_id"),
+             "event_type": pa.array(et.tolist(), pa.string()),
+             "z": pa.array(z, pa.float64())}
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow", batch_size=None)
+
+
+def events_type_transitions(sf_dir: str):
+    """Event-type transition counts (the first-order Markov matrix of user
+    behavior): consecutive (previous type → type) pairs per user ordered by
+    (ts, event_id). One single-key range partition on user_id; the in-block
+    pass is a lexsort + shifted compare (transitions at group heads are
+    discarded, matching the oracle's ``WHERE prev IS NOT NULL``); per-block
+    pair partials collapse before the tiny composite groupby."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _pairs(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"prev_type": pa.array([], pa.string()),
+             "event_type": pa.array([], pa.string()),
+             "p_n": pa.array([], pa.int64())}
+        )
+        if block.num_rows == 0:
+            return empty
+        eid = block.column("event_id").to_numpy(zero_copy_only=False)
+        uid = block.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            block.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        et = np.asarray(block.column("event_type").to_pylist(), dtype=object)
+        o = np.lexsort((eid, ts, uid))
+        uid, et = uid[o], et[o]
+        same_user = uid[1:] == uid[:-1]
+        if not same_user.any():
+            return empty
+        # factorize types once per block; pairs become single ints
+        names, code = np.unique(et, return_inverse=True)
+        prev = code[:-1][same_user]
+        cur = code[1:][same_user]
+        k = len(names)
+        uniq, cnt = np.unique(prev * k + cur, return_counts=True)
+        return pa.table(
+            {"prev_type": pa.array(names[uniq // k].tolist(), pa.string()),
+             "event_type": pa.array(names[uniq % k].tolist(), pa.string()),
+             "p_n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    parts = sorted_group_apply(ds, "user_id", _pairs)
+    return (
+        parts.groupby(["prev_type", "event_type"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
