@@ -838,3 +838,52 @@ def test_multiblock_doc_oracles_sf01(entrymod, ray_session):
         ray_df = _to_pandas(qs[name](sf))
         sql_df = c.execute(lo[name]).fetchdf()
         _compare(ray_df, sql_df, f"{name}@sf0.1")
+
+
+def test_new_event_ops_random_vs_duckdb(entrymod, tmp_path):
+    """Randomized oracle gate for the window/sequence/anomaly family: a
+    seeded random events table planted with the edge cases the shared
+    testdata lacks — single-event users, EXACTLY tied timestamps, negative
+    and tied-cents values — must stay bit-identical to DuckDB for every
+    new event operator."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(1234)
+    n = 3000
+    user = rng.integers(0, 80, n)
+    user[:5] = np.arange(1000, 1005)       # single-event users
+    ts = np.datetime64("2024-03-01", "us") + rng.integers(
+        0, 86_400_000_000, n
+    ).astype("timedelta64[us]")
+    ts[10:20] = ts[10]                      # tied timestamps (tie-break by id)
+    value = np.round(rng.normal(0, 50, n), 2)  # negatives + tied cents
+    types = np.array(["click", "view", "purchase", "signup", "error"], object)
+    tbl = pa.table(
+        {"event_id": pa.array(np.arange(n), pa.int64()),
+         "ts": pa.array(ts),
+         "user_id": pa.array(user, pa.int64()),
+         "event_type": pa.array(types[rng.integers(0, 5, n)].tolist(), pa.string()),
+         "value": pa.array(value, pa.float64()),
+         "props": pa.array(['{"k": 1}'] * n, pa.string())}
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    qs = entrymod.queries()
+    lo = entrymod.local_oracle_sql()
+    failures = []
+    for name in ("events_time_deltas", "latest_event_per_user",
+                 "events_moving_avg", "events_value_percent_rank",
+                 "events_anomaly_zscore", "events_type_transitions",
+                 "events_value_histogram"):
+        ray_df = _to_pandas(qs[name](str(tmp_path)))
+        sql_df = c.execute(lo[name]).fetchdf()
+        try:
+            _compare(ray_df, sql_df, name)
+        except AssertionError as e:
+            failures.append(str(e))
+    assert not failures, "\n".join(failures)
