@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel_stages": Q.user_funnel_stages,
         # approximate sibling of the oracled exact quantiles
         "events_value_quantiles_approx": Q.events_value_quantiles_approx,
+        # image near-dup end-to-end (decode is not SQL-expressible;
+        # planted-group recovery pinned by test)
+        "media_neardup": Q.media_neardup,
         "events_time_deltas": Q.events_time_deltas,
         "lineitem_rollup": Q.lineitem_rollup,
         "latest_event_per_user": Q.latest_event_per_user,

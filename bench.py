@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "customer_urgent_order_counts",  # r4: left-join counts via broadcast partials
     "events_anomaly_zscore",       # r4: z-scores from exact-moment broadcast
     "events_type_transitions",     # r4: Markov transition counts per user
+    "media_neardup",               # r4: image near-dup end-to-end (decode→dhash→LSH)
 ]
 HEADLINE = "neardup_pages_bench"
 

@@ -887,3 +887,17 @@ def test_new_event_ops_random_vs_duckdb(entrymod, tmp_path):
         except AssertionError as e:
             failures.append(str(e))
     assert not failures, "\n".join(failures)
+
+
+def test_media_neardup_recovers_planted_groups(entrymod, ray_session):
+    """The image near-dup pipeline (decode → dhash → banding → hamming
+    verify → union-find) must merge every planted 3-variant image group
+    and never merge across groups."""
+    import pandas as pd
+
+    df = _to_pandas(entrymod.queries()["media_neardup"](SF_DIR))
+    assert len(df) == 500
+    g = df.media_id // 3
+    assert (df.groupby(g).cluster_id.nunique() == 1).all()
+    assert (df.groupby("cluster_id").apply(
+        lambda x: (x.media_id // 3).nunique()) == 1).all()
