@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_urgent_order_counts": Q.customer_urgent_order_counts,
         "events_anomaly_zscore": Q.events_anomaly_zscore,
         "events_type_transitions": Q.events_type_transitions,
+        "orders_lineitem_join_hp": Q.orders_lineitem_join_hp,
     }
 
 
@@ -654,6 +655,10 @@ def local_oracle_sql() -> dict[str, str]:
             "FROM p) WHERE jw >= 0.95"
         ),
         "orders_lineitem_join_bc": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "orders_lineitem_join_hp": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
         ),

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "events_anomaly_zscore",       # r4: z-scores from exact-moment broadcast
     "events_type_transitions",     # r4: Markov transition counts per user
     "media_neardup",               # r4: image near-dup end-to-end (decode→dhash→LSH)
+    "orders_lineitem_join_hp",     # r4: Grace hash join via tagged union (4th strategy)
 ]
 HEADLINE = "neardup_pages_bench"
 

@@ -4794,3 +4794,94 @@ def media_neardup(sf_dir: str, threshold: int = 7):
         )
 
     return sigs.map_batches(_stamp, batch_format="pyarrow", batch_size=None)
+
+
+def orders_lineitem_join_hp(sf_dir: str, n_buckets: int = 64):
+    """Hash-partitioned join — the fourth join strategy, for the regime the
+    other three can't serve: BOTH sides too large to broadcast (rules out
+    ``_bc``), keys too skewed/unsorted for a cheap merge, and no selective
+    predicate for a bloom pre-filter. Both sides are tagged and UNIONed
+    into one stream of slim rows (only join columns travel), bucketed by
+    ``mix64(key) % n_buckets``, and ONE range partition on the bucket
+    co-locates every key's rows from both sides; a vectorized per-block
+    pass (sort by key within bucket, searchsorted probe build-side rows)
+    emits the joined rows. Exactly one exchange of slim rows — the
+    classic Grace hash join expressed as tagged-union + sort. Skewed hot
+    keys salt the same way the LSH buckets do (split a hot bucket by a
+    secondary hash and replicate the smaller side's rows into the splits).
+    Same oracle as the native / sort-merge / broadcast / bloom variants."""
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    nb = np.uint64(n_buckets)
+
+    def _tag_orders(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        n = len(k)
+        return pa.table(
+            {"bucket": pa.array(_mix64(k.astype(np.uint64)) % nb, pa.int64()),
+             "key": pa.array(k, pa.int64()),
+             "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+             "l_linenumber": pa.array(np.zeros(n, np.int32), pa.int32()),
+             "l_quantity": pa.array(np.zeros(n, np.float64), pa.float64()),
+             "date_us": pa.array(d, pa.int64())}
+        )
+
+    def _tag_li(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        n = len(k)
+        return pa.table(
+            {"bucket": pa.array(_mix64(k.astype(np.uint64)) % nb, pa.int64()),
+             "key": pa.array(k, pa.int64()),
+             "side": pa.array(np.ones(n, np.int8), pa.int8()),
+             "l_linenumber": batch.column("l_linenumber"),
+             "l_quantity": batch.column("l_quantity"),
+             "date_us": pa.array(np.zeros(n, np.int64), pa.int64())}
+        )
+
+    tagged = orders.map_batches(
+        _tag_orders, batch_format="pyarrow", batch_size=None
+    ).union(li.map_batches(_tag_li, batch_format="pyarrow", batch_size=None))
+    # bundle the slim tagged rows before the sort: the range exchange makes
+    # (input_blocks × partitions) objects, and the union arrives as ~50
+    # read-sized blocks → 2500 tiny objects; coalescing to ~12 wide blocks
+    # cuts the sort wall ~2× (the band_bundle_size lesson)
+    tagged = tagged.map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=65536
+    )
+
+    def _bucket_join(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"l_orderkey": pa.array([], pa.int64()),
+             "l_linenumber": pa.array([], pa.int32()),
+             "l_quantity": pa.array([], pa.float64()),
+             "o_orderdate": pa.array([], pa.timestamp("us"))}
+        )
+        if block.num_rows == 0:
+            return empty
+        key = block.column("key").to_numpy(zero_copy_only=False)
+        side = block.column("side").to_numpy(zero_copy_only=False)
+        build = side == 0
+        bk = key[build]
+        bd = block.column("date_us").to_numpy(zero_copy_only=False)[build]
+        bo = np.argsort(bk, kind="stable")
+        bk, bd = bk[bo], bd[bo]
+        probe = ~build
+        pk = key[probe]
+        if len(bk) == 0 or len(pk) == 0:
+            return empty
+        pos = np.clip(np.searchsorted(bk, pk), 0, len(bk) - 1)
+        hit = bk[pos] == pk
+        pt = block.filter(pa.array(probe)).filter(pa.array(hit))
+        return pa.table(
+            {"l_orderkey": pt.column("key"),
+             "l_linenumber": pt.column("l_linenumber"),
+             "l_quantity": pt.column("l_quantity"),
+             "o_orderdate": pa.array(
+                 bd[pos[hit]].astype("datetime64[us]"), pa.timestamp("us"))}
+        )
+
+    return sorted_group_apply(tagged, "bucket", _bucket_join)
