@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly_zscore": Q.events_anomaly_zscore,
         "events_type_transitions": Q.events_type_transitions,
         "orders_lineitem_join_hp": Q.orders_lineitem_join_hp,
+        "token_freq_exact": Q.token_freq_exact,
+        # CMS sibling of the oracled exact probe frequencies
+        "token_freq_cms": Q.token_freq_cms,
     }
 
 
@@ -990,6 +993,17 @@ def local_oracle_sql() -> dict[str, str]:
             "CASE WHEN st.std > 0 THEN (CAST(c.cents AS DOUBLE) - st.mean) "
             "/ st.std ELSE 0.0 END AS z "
             "FROM c JOIN st USING (event_type)"
+        ),
+        "token_freq_exact": (
+            # probe set = the 50 alphabetically-first distinct tokens;
+            # zero-count probes kept (cannot occur by construction — every
+            # probe came from the corpus — but the LEFT shape is the point)
+            "WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS t FROM documents), "
+            "probe AS (SELECT DISTINCT t FROM tok ORDER BY t LIMIT 50) "
+            "SELECT probe.t AS token, "
+            "CAST(count(tok.t) AS BIGINT) AS n "
+            "FROM probe LEFT JOIN tok ON tok.t = probe.t GROUP BY probe.t"
         ),
         "events_type_transitions": (
             "WITH d AS (SELECT user_id, event_type, lag(event_type) OVER "

@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "events_type_transitions",     # r4: Markov transition counts per user
     "media_neardup",               # r4: image near-dup end-to-end (decode→dhash→LSH)
     "orders_lineitem_join_hp",     # r4: Grace hash join via tagged union (4th strategy)
+    "token_freq_exact",            # r4: probe-token exact counts (broadcast + bincount)
+    "token_freq_cms",              # r4: Count-Min point-frequency sketch
 ]
 HEADLINE = "neardup_pages_bench"
 

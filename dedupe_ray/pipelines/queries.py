@@ -4885,3 +4885,143 @@ def orders_lineitem_join_hp(sf_dir: str, n_buckets: int = 64):
         )
 
     return sorted_group_apply(tagged, "bucket", _bucket_join)
+
+
+# ---------------------------------------------------------------------------
+# r4 (cont.): Count-Min frequency estimation (completes the sketch family)
+# ---------------------------------------------------------------------------
+
+
+def _probe_tokens(sf_dir: str, k: int = 50) -> np.ndarray:
+    """Deterministic probe set: the k alphabetically-first distinct tokens
+    of the corpus (per-batch distinct partials; the driver merges unique
+    token sets — identical rule in the SQL oracle)."""
+    import re
+
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def _uniq(batch: pa.Table) -> pa.Table:
+        toks: set[str] = set()
+        for t in batch.column("text").to_pylist():
+            toks.update(pat.findall((t or "").lower()))
+        srt = sorted(toks)[:k]
+        return pa.table({"token": pa.array(srt, pa.string())})
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(_uniq, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"token": pa.array([], pa.string())})]
+    )
+    return np.unique(np.asarray(parts.column("token").to_pylist(), dtype=object))[:k]
+
+
+def token_freq_exact(sf_dir: str):
+    """Exact corpus frequency of the deterministic probe-token set (the
+    alphabetically-first 50 distinct tokens) — the oracled companion the
+    Count-Min sibling is pinned against. Probe set broadcast once; one
+    streaming np.isin + bincount pass; zero-count probes kept (LEFT
+    semantics)."""
+    probes = _probe_tokens(sf_dir)
+    pref = ray.put(probes)
+    import re
+
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pr = ray.get(pref)
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(pat.findall((t or "").lower()))
+        ta = np.asarray(toks, dtype=object)
+        if len(ta):
+            pos = np.searchsorted(pr, ta)
+            pos_c = np.clip(pos, 0, len(pr) - 1)
+            hit = pr[pos_c] == ta
+            cnt = np.bincount(pos_c[hit], minlength=len(pr)).astype(np.int64)
+        else:
+            cnt = np.zeros(len(pr), np.int64)
+        return pa.table({"idx": pa.array(np.arange(len(pr)), pa.int64()),
+                         "p_n": pa.array(cnt, pa.int64())})
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"idx": pa.array([], pa.int64()),
+                      "p_n": pa.array([], pa.int64())})]
+    )
+    idx = parts.column("idx").to_numpy(zero_copy_only=False)
+    pn = parts.column("p_n").to_numpy(zero_copy_only=False)
+    total = np.zeros(len(probes), np.int64)
+    np.add.at(total, idx, pn)
+    return pa.table({"token": pa.array(probes.tolist(), pa.string()),
+                     "n": pa.array(total, pa.int64())})
+
+
+def token_freq_cms(sf_dir: str, d: int = 4, w: int = 8192):
+    """Count-Min sketch frequency estimates for the same probe set — the
+    point-query sketch that answers ANY token's frequency in O(d) from
+    d×w counters, where MG top-k answers only the heavy hitters. Per-batch
+    partials are full d×w count matrices (256 KiB) that SUM-merge — on the
+    driver here, through any tree reduce or groupby at scale (the HLL
+    mergeability argument, additive instead of max). Estimates are
+    deterministic for fixed seeds: ``est ≥ true`` always, overestimate
+    bounded by collision mass ~N/w per row (test-pinned against the exact
+    oracled sibling)."""
+    import re
+
+    probes = _probe_tokens(sf_dir)
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+    seeds = np.uint64(0x9E3779B97F4A7C15) * np.arange(1, d + 1, dtype=np.uint64)
+
+    def _rows_of(tokens: np.ndarray) -> np.ndarray:
+        """d×len(tokens) CMS column indexes (blake2-free: mix64 of the
+        token's stable 64-bit hash xor each row seed)."""
+        import hashlib
+
+        base = np.fromiter(
+            (int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+             for t in tokens.tolist()),
+            np.uint64, count=len(tokens),
+        )
+        with np.errstate(over="ignore"):
+            return np.stack([
+                _mix64(base ^ s) % np.uint64(w) for s in seeds
+            ])
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(pat.findall((t or "").lower()))
+        mat = np.zeros((d, w), np.int64)
+        if toks:
+            uniq, cnt = np.unique(np.asarray(toks, dtype=object),
+                                  return_counts=True)
+            rows = _rows_of(uniq)
+            for r in range(d):
+                np.add.at(mat[r], rows[r], cnt)
+        return pa.table({"cms": pa.array([mat.tobytes()], pa.large_binary())})
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"cms": pa.array([], pa.large_binary())})]
+    )
+    mat = np.zeros((d, w), np.int64)
+    for b in parts.column("cms").to_pylist():
+        mat += np.frombuffer(b, np.int64).reshape(d, w)
+    rows = _rows_of(probes) if len(probes) else np.zeros((d, 0), np.int64)
+    est = mat[np.arange(d)[:, None], rows].min(axis=0) if len(probes) else \
+        np.zeros(0, np.int64)
+    return pa.table({"token": pa.array(probes.tolist(), pa.string()),
+                     "n_est": pa.array(est, pa.int64())})

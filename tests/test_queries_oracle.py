@@ -901,3 +901,24 @@ def test_media_neardup_recovers_planted_groups(entrymod, ray_session):
     assert (df.groupby(g).cluster_id.nunique() == 1).all()
     assert (df.groupby("cluster_id").apply(
         lambda x: (x.media_id // 3).nunique()) == 1).all()
+
+
+def test_cms_tracks_exact_freqs(entrymod, ray_session):
+    """Count-Min invariants vs the oracled exact sibling: est ≥ true for
+    every probe (structural — counters only ever add), and the overestimate
+    stays within the d-row collision bound. A tiny-width sketch (w=64)
+    must still respect est ≥ true while actually colliding."""
+    from dedupe_ray.pipelines.queries import token_freq_cms, token_freq_exact
+
+    exact = token_freq_exact(SF_DIR).to_pandas().sort_values(
+        "token", ignore_index=True)
+    est = token_freq_cms(SF_DIR).to_pandas().sort_values(
+        "token", ignore_index=True)
+    assert list(exact.token) == list(est.token)
+    over = est.n_est.values - exact.n.values
+    assert (over >= 0).all()
+    n_total = int(exact.n.sum())
+    assert over.max() <= max(1, 4 * n_total // 8192)
+    tiny = token_freq_cms(SF_DIR, w=64).to_pandas().sort_values(
+        "token", ignore_index=True)
+    assert (tiny.n_est.values - exact.n.values >= 0).all()
