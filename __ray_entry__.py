@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_transitions": Q.events_type_transitions,
         "orders_lineitem_join_hp": Q.orders_lineitem_join_hp,
         "token_freq_exact": Q.token_freq_exact,
+        "events_retention_cohorts": Q.events_retention_cohorts,
         # CMS sibling of the oracled exact probe frequencies
         "token_freq_cms": Q.token_freq_cms,
     }
@@ -1004,6 +1005,16 @@ def local_oracle_sql() -> dict[str, str]:
             "SELECT probe.t AS token, "
             "CAST(count(tok.t) AS BIGINT) AS n "
             "FROM probe LEFT JOIN tok ON tok.t = probe.t GROUP BY probe.t"
+        ),
+        "events_retention_cohorts": (
+            "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) "
+            "AS cohort_week FROM events GROUP BY user_id), "
+            "a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week "
+            "FROM events) "
+            "SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week, "
+            "CAST(a.week AS TIMESTAMP) AS week, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM a JOIN f USING (user_id) GROUP BY 1, 2"
         ),
         "events_type_transitions": (
             "WITH d AS (SELECT user_id, event_type, lag(event_type) OVER "

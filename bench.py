@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "orders_lineitem_join_hp",     # r4: Grace hash join via tagged union (4th strategy)
     "token_freq_exact",            # r4: probe-token exact counts (broadcast + bincount)
     "token_freq_cms",              # r4: Count-Min point-frequency sketch
+    "events_retention_cohorts",    # r4: cohort matrix via argmin broadcast + pair dedupe
 ]
 HEADLINE = "neardup_pages_bench"
 

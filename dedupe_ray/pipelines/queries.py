@@ -5025,3 +5025,99 @@ def token_freq_cms(sf_dir: str, d: int = 4, w: int = 8192):
         np.zeros(0, np.int64)
     return pa.table({"token": pa.array(probes.tolist(), pa.string()),
                      "n_est": pa.array(est, pa.int64())})
+
+
+def events_retention_cohorts(sf_dir: str):
+    """Retention-cohort matrix — users cohorted by the Monday-truncated
+    week of their FIRST event; for each (cohort_week, activity_week), the
+    count of distinct cohort users active that week. Two passes: per-batch
+    arg-min partials give first-event times (bounded by |users|, merged
+    and broadcast as a sorted cohort map), then per-batch DISTINCT
+    (user, week) pair partials collapse before the driver dedupe — events
+    never shuffle; at corpus scale the pair dedupe becomes the grouped-
+    distinct partial shape instead of a driver merge. Week truncation is
+    exact integer day arithmetic (epoch day 0 = Thursday →
+    ``d − ((d + 3) mod 7)``), identical to the oracle's date_trunc."""
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def _week_days(ts_us: np.ndarray) -> np.ndarray:
+        d = ts_us // 86_400_000_000
+        return d - ((d + 3) % 7)
+
+    def _first_partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            batch.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        o = np.lexsort((ts, uid))
+        uid, ts = uid[o], ts[o]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        return pa.table({"user_id": pa.array(uid[starts], pa.int64()),
+                         "first_us": pa.array(ts[starts], pa.int64())})
+
+    fp = pa.concat_tables(
+        list(
+            ds.map_batches(_first_partial, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"user_id": pa.array([], pa.int64()),
+                      "first_us": pa.array([], pa.int64())})]
+    )
+    uid = fp.column("user_id").to_numpy(zero_copy_only=False)
+    fts = fp.column("first_us").to_numpy(zero_copy_only=False)
+    o = np.lexsort((fts, uid))
+    uid, fts = uid[o], fts[o]
+    starts = (np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+              if len(uid) else np.array([], np.int64))
+    cuid = uid[starts] if len(uid) else uid
+    cohort = _week_days(fts[starts]) if len(uid) else fts
+    cref = ray.put((cuid, cohort))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            batch.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        wk = _week_days(ts)
+        o = np.lexsort((wk, u))
+        u, wk = u[o], wk[o]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (wk[1:] != wk[:-1])]
+        return pa.table({"user_id": pa.array(u[keep], pa.int64()),
+                         "week_day": pa.array(wk[keep], pa.int64())})
+
+    pp = pa.concat_tables(
+        list(
+            ds.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"user_id": pa.array([], pa.int64()),
+                      "week_day": pa.array([], pa.int64())})]
+    )
+    u = pp.column("user_id").to_numpy(zero_copy_only=False)
+    wk = pp.column("week_day").to_numpy(zero_copy_only=False)
+    o = np.lexsort((wk, u))
+    u, wk = u[o], wk[o]
+    keep = (np.r_[True, (u[1:] != u[:-1]) | (wk[1:] != wk[:-1])]
+            if len(u) else np.zeros(0, bool))
+    u, wk = u[keep], wk[keep]
+    ck, cw = ray.get(cref)
+    pos = np.clip(np.searchsorted(ck, u), 0, max(len(ck) - 1, 0))
+    coh = cw[pos] if len(ck) else np.zeros(0, np.int64)
+    key = coh * 1_000_000 + wk  # both are day numbers ≪ 1e6 apart
+    ko = np.lexsort((key,))
+    key = key[ko]
+    starts = (np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+              if len(key) else np.array([], np.int64))
+    n = np.diff(np.r_[starts, len(key)]) if len(key) else np.array([], np.int64)
+    sel = key[starts] if len(key) else key
+    return pa.table(
+        {"cohort_week": pa.array(
+            ((sel // 1_000_000) * 86_400_000_000).astype("datetime64[us]"),
+            pa.timestamp("us")),
+         "week": pa.array(
+            ((sel % 1_000_000) * 86_400_000_000).astype("datetime64[us]"),
+            pa.timestamp("us")),
+         "n_users": pa.array(n, pa.int64())}
+    )

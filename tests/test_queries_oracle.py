@@ -855,7 +855,7 @@ def test_new_event_ops_random_vs_duckdb(entrymod, tmp_path):
     user = rng.integers(0, 80, n)
     user[:5] = np.arange(1000, 1005)       # single-event users
     ts = np.datetime64("2024-03-01", "us") + rng.integers(
-        0, 86_400_000_000, n
+        0, 45 * 86_400_000_000, n
     ).astype("timedelta64[us]")
     ts[10:20] = ts[10]                      # tied timestamps (tie-break by id)
     value = np.round(rng.normal(0, 50, n), 2)  # negatives + tied cents
@@ -879,7 +879,7 @@ def test_new_event_ops_random_vs_duckdb(entrymod, tmp_path):
     for name in ("events_time_deltas", "latest_event_per_user",
                  "events_moving_avg", "events_value_percent_rank",
                  "events_anomaly_zscore", "events_type_transitions",
-                 "events_value_histogram"):
+                 "events_value_histogram", "events_retention_cohorts"):
         ray_df = _to_pandas(qs[name](str(tmp_path)))
         sql_df = c.execute(lo[name]).fetchdf()
         try:
