@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join_hp": Q.orders_lineitem_join_hp,
         "token_freq_exact": Q.token_freq_exact,
         "events_retention_cohorts": Q.events_retention_cohorts,
+        "doc_tokens_long": Q.doc_tokens_long,
         # CMS sibling of the oracled exact probe frequencies
         "token_freq_cms": Q.token_freq_cms,
     }
@@ -1005,6 +1006,12 @@ def local_oracle_sql() -> dict[str, str]:
             "SELECT probe.t AS token, "
             "CAST(count(tok.t) AS BIGINT) AS n "
             "FROM probe LEFT JOIN tok ON tok.t = probe.t GROUP BY probe.t"
+        ),
+        "doc_tokens_long": (
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'[a-z0-9]+') AS t FROM documents) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS token "
+            "FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)"
         ),
         "events_retention_cohorts": (
             "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) "

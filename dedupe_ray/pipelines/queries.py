@@ -5121,3 +5121,35 @@ def events_retention_cohorts(sf_dir: str):
             pa.timestamp("us")),
          "n_users": pa.array(n, pa.int64())}
     )
+
+
+def doc_tokens_long(sf_dir: str):
+    """Explode / flat_map primitive: one output row per (doc_id, position,
+    token) — the long-form tokenization every downstream NLP table starts
+    from. Each batch emits its flattened rows directly (row counts grow
+    ~40× through the operator; the streaming executor's backpressure, not
+    driver memory, absorbs the expansion). Position is 1-based to match
+    the UNNEST-with-ordinality oracle."""
+    import re
+
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks: list[str] = []
+        counts = np.empty(len(ids), np.int64)
+        for j, t in enumerate(batch.column("text").to_pylist()):
+            tt = pat.findall((t or "").lower())
+            counts[j] = len(tt)
+            toks.extend(tt)
+        pos = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.r_[np.int64(0), np.cumsum(counts)[:-1]], counts
+        ) + 1
+        return pa.table(
+            {"doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+             "pos": pa.array(pos, pa.int64()),
+             "token": pa.array(toks, pa.string())}
+        )
+
+    return ds.map_batches(_explode, batch_format="pyarrow", batch_size=None)
