@@ -84,6 +84,8 @@ def incremental_match(
             new_sigs.map_batches(emit, batch_format="pyarrow", batch_size=None)
             .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
         )
+        or [pa.table({"band_key": pa.array([], pa.uint64()),
+                      "doc_id": pa.array([], pa.int64())})]
     )
     new_keys = np.unique(new_banded_tbl.column("band_key").to_numpy(zero_copy_only=False))
     keys_ref = ray.put(new_keys)

@@ -71,6 +71,42 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray
     ).map_batches(_strip_schema_metadata, batch_format="pyarrow", batch_size=None)
 
 
+def _concat_or(ds: "ray.data.Dataset", empty: pa.Table) -> pa.Table:
+    """Collect a (small/bounded) dataset into one Arrow table. Ray emits NO
+    blocks for zero-row datasets and reports no schema, so the caller
+    supplies the empty-case table — every query stays total on a 0-row
+    corpus (pinned by the empty-corpus sweep test)."""
+    tabs = list(ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    return pa.concat_tables(tabs) if tabs else empty
+
+
+def _read_collect(sf_dir: str, name: str, columns: list[str] | None = None) -> pa.Table:
+    """read_table + driver collect with the parquet footer schema as the
+    empty-case fallback (Ray yields no batches and no schema for 0-row
+    inputs)."""
+    import pyarrow.parquet as pq
+
+    tabs = list(
+        read_table(sf_dir, name, columns).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")
+    )
+    if tabs:
+        return pa.concat_tables(tabs)
+    sch = pq.read_schema(f"{sf_dir}/{name}.parquet").remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return sch.empty_table()
+
+
+def _table_rows(sf_dir: str, name: str) -> int:
+    """Row count from the parquet footer (already read for block sizing) —
+    lets joins and vector queries early-out on empty inputs without
+    executing a pipeline."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
 # ---------------------------------------------------------------------------
 # SQL-oracled queries
 # ---------------------------------------------------------------------------
@@ -152,12 +188,11 @@ def orders_customers(sf_dir: str):
     """Broadcast hash join: customer (small side) shipped once via ray.put,
     probed per batch with a vectorized searchsorted — no shuffle
     (SURVEY.md §2.7: the engine's general-join capability)."""
-    cust = pa.concat_tables(
-        list(
-            read_table(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).iter_batches(
-                batch_size=1 << 20, batch_format="pyarrow"
-            )
-        )
+    cust = _concat_or(
+        read_table(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]),
+        pa.table({"c_custkey": pa.array([], pa.int64()),
+                  "c_name": pa.array([], pa.string()),
+                  "c_mktsegment": pa.array([], pa.string())}),
     )
     keys = cust.column("c_custkey").to_numpy(zero_copy_only=False)
     order = np.argsort(keys, kind="stable")
@@ -168,6 +203,13 @@ def orders_customers(sf_dir: str):
     def _join(batch: pa.Table) -> pa.Table:
         k, nm, sg = ray.get(ref)
         ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "o_totalprice": pa.array([], pa.float64()),
+                 "c_name": pa.array([], pa.string()),
+                 "c_mktsegment": pa.array([], pa.string())}
+            )
         pos = np.clip(np.searchsorted(k, ck), 0, len(k) - 1)
         hit = k[pos] == ck
         out = batch.filter(pa.array(hit))
@@ -325,7 +367,7 @@ def events_sliding_window(sf_dir: str):
 
 def distinct_mktsegment(sf_dir: str):
     ds = read_table(sf_dir, "customer", ["c_mktsegment"])
-    vals = sorted(ds.unique("c_mktsegment"))
+    vals = sorted(ds.unique("c_mktsegment") or [])
     return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
 
 
@@ -335,6 +377,10 @@ def embedding_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     DuckDB oracle. Self-matches included (rank 1, similarity 1)."""
     from dedupe_ray.stages.ann import brute_force_topk
 
+    if _table_rows(sf_dir, "embeddings") == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = pa.concat_tables(
         list(
@@ -589,6 +635,9 @@ def compare_lookup(sf_dir: str):
     from dedupe_ray.pipelines.neardup import signatures_dataset
 
     cfg = NearDupConfig(algo="minhash")
+    if _table_rows(sf_dir, "documents") == 0:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "score": pa.array([], pa.float64())})
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     target = docs.sort("doc_id").limit(1).take(1)[0]["text"]
 
@@ -902,6 +951,10 @@ def ann_srp_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     """LSH-bucketed ANN (scale path) — same queries as ``embedding_topk``."""
     from dedupe_ray.stages.ann import srp_bucket_topk
 
+    if _table_rows(sf_dir, "embeddings") == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = pa.concat_tables(
         list(
@@ -1023,6 +1076,10 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, nprobe: int = 4,
     ``embedding_topk``; nprobe=n_lists degrades to exact (pinned by tests)."""
     from dedupe_ray.stages.ann import ivf_topk
 
+    if _table_rows(sf_dir, "embeddings") == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = pa.concat_tables(
         list(
@@ -1121,6 +1178,15 @@ def orders_lineitem_join(sf_dir: str):
     """Large-large distributed hash join via ``Dataset.join`` (both sides
     shuffle-partitioned on the key) — the complement of the broadcast join in
     ``orders_customers``."""
+    if _table_rows(sf_dir, "lineitem") == 0 or _table_rows(sf_dir, "orders") == 0:
+        # empty-side early-out: Ray reports no schema for 0-row datasets and
+        # the native/Acero join rejects schemaless inputs
+        return pa.table(
+            {"l_orderkey": pa.array([], pa.int64()),
+             "l_linenumber": pa.array([], pa.int32()),
+             "l_quantity": pa.array([], pa.float64()),
+             "o_orderdate": pa.array([], pa.timestamp("us"))}
+        )
     li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
     # num_partitions sizes the hash-shuffle aggregator pool: each partition
@@ -1142,6 +1208,16 @@ def orders_lineitem_join_sm(sf_dir: str):
     `stages/joins.py`) — no join-aggregator actor pool to spin up; compare
     with `orders_lineitem_join` (native `Dataset.join`)."""
     from dedupe_ray.stages.joins import sort_merge_join
+
+    if _table_rows(sf_dir, "lineitem") == 0 or _table_rows(sf_dir, "orders") == 0:
+        # empty-side early-out: Ray reports no schema for 0-row datasets and
+        # the native/Acero join rejects schemaless inputs
+        return pa.table(
+            {"l_orderkey": pa.array([], pa.int64()),
+             "l_linenumber": pa.array([], pa.int32()),
+             "l_quantity": pa.array([], pa.float64()),
+             "o_orderdate": pa.array([], pa.timestamp("us"))}
+        )
 
     li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
@@ -1233,6 +1309,10 @@ def incremental_match_docs(sf_dir: str, index_root: str | None = None):
     )
 
     cfg = NearDupConfig(algo="minhash")
+    if _table_rows(sf_dir, "documents") == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "url": pa.array([], pa.string()),
+                         "duplicate_of": pa.array([], pa.int64())})
     pages = pages_from_documents(sf_dir)  # base + variant rows
 
     def _split(batch: pa.Table, keep_variant: bool) -> pa.Table:
@@ -1516,10 +1596,8 @@ def suppliers_per_region(sf_dir: str):
     dimension maps are composed driver-side into one s_nationkey → r_name
     lookup, then a single vectorized probe per batch — a multi-way join
     collapses to ONE broadcast when the dimensions are small."""
-    nation = pa.concat_tables(list(read_table(sf_dir, "nation").iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow")))
-    region = pa.concat_tables(list(read_table(sf_dir, "region").iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow")))
+    nation = _read_collect(sf_dir, "nation")
+    region = _read_collect(sf_dir, "region")
     rmap = dict(zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()))
     nmap = {
         nk: rmap[rk]
@@ -2104,6 +2182,10 @@ def embedding_neardup_audit(sf_dir: str, threshold: float = 0.42):
     addition is EXACT and order-independent on both engines, and the final
     floor(10⁶·dot/√(na·nb) + 0.5) is a chain of single correctly-rounded
     IEEE ops — bit-identical to DuckDB by construction."""
+    if _table_rows(sf_dir, "embeddings") == 0:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64()),
+                         "sim_fp": pa.array([], pa.int64())})
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     corpus = pa.concat_tables(
         list(ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
@@ -2241,8 +2323,10 @@ def neardup_docs_hamming_audit(sf_dir: str, max_hamming: int = 8):
         )
 
     code_ds = docs.map_batches(_codes, batch_format="pyarrow", batch_size=1024).materialize()
-    tbl = pa.concat_tables(
-        list(code_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    tbl = _concat_or(
+        code_ds,
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "code": pa.array([], pa.uint64())}),
     )
     gids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     gcodes = tbl.column("code").to_numpy(zero_copy_only=False)
@@ -2617,13 +2701,7 @@ def orders_lineitem_join_bc(sf_dir: str):
     vectorized searchsorted — lineitem (the big side) never shuffles. Third
     point of the join-strategy comparison (native shuffle / sort-merge /
     broadcast); same oracle SQL as its siblings."""
-    orders = pa.concat_tables(
-        list(
-            read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).iter_batches(
-                batch_size=1 << 20, batch_format="pyarrow"
-            )
-        )
-    )
+    orders = _read_collect(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
     keys = orders.column("o_orderkey").to_numpy(zero_copy_only=False)
     order = np.argsort(keys, kind="stable")
     dates = orders.column("o_orderdate").combine_chunks().take(pa.array(order, pa.int64()))
@@ -2681,9 +2759,8 @@ def decontaminate_docs(sf_dir: str, n: int = 3, eval_mod: int = 100):
         return pa.table({"ngram": pa.array(sorted(grams), pa.string())})
 
     parts = docs.map_batches(_eval_partial, batch_format="pyarrow", batch_size=None)
-    eval_tbl = pa.concat_tables(
-        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    )
+    eval_tbl = _concat_or(
+        parts, pa.table({"ngram": pa.array([], pa.string())}))
     eval_set = np.unique(np.asarray(eval_tbl.column("ngram").to_pylist()))
     ref = ray.put(eval_set)
 
@@ -2750,9 +2827,9 @@ def tfidf_top_terms(sf_dir: str, k: int = 5, scale: int = 1 << 20):
         .groupby("token")
         .aggregate(Count(alias_name="df"))
     )
-    df_tbl = pa.concat_tables(
-        list(dfds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    )
+    df_tbl = _concat_or(
+        dfds, pa.table({"token": pa.array([], pa.string()),
+                        "df": pa.array([], pa.int64())}))
     vocab = np.asarray(df_tbl.column("token").to_pylist())
     dfv = df_tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(vocab, kind="stable")
@@ -2845,9 +2922,17 @@ def events_props_extract(sf_dir: str):
         )
 
     parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-    tbl = pa.concat_tables(
-        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    tbl = _concat_or(
+        parts,
+        pa.table({"event_type": pa.array([], pa.string()),
+                  "n": pa.array([], pa.int64()),
+                  "n_null": pa.array([], pa.int64()),
+                  "sum_k": pa.array([], pa.int64()),
+                  "min_k": pa.array([], pa.int64()),
+                  "max_k": pa.array([], pa.int64())}),
     )
+    if tbl.num_rows == 0:
+        return tbl
     # driver merge over (types × blocks) partial rows only
     et = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
     o = np.argsort(et, kind="stable")
@@ -2887,9 +2972,18 @@ def events_value_quantiles(sf_dir: str):
         )
 
     parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-    tbl = pa.concat_tables(
-        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    tbl = _concat_or(
+        parts,
+        pa.table({"event_type": pa.array([], pa.string()),
+                  "value": pa.array([], pa.float64()),
+                  "cnt": pa.array([], pa.int64())}),
     )
+    if tbl.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "p50": pa.array([], pa.float64()),
+                         "p90": pa.array([], pa.float64()),
+                         "p99": pa.array([], pa.float64())})
     et = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
     v = tbl.column("value").to_numpy(zero_copy_only=False)
     c = tbl.column("cnt").to_numpy(zero_copy_only=False)
@@ -3077,9 +3171,7 @@ def customers_without_urgent_orders(sf_dir: str):
         return pa.table({"k": pa.array(u, pa.int64())})
 
     parts = orders.map_batches(_keys, batch_format="pyarrow", batch_size=None)
-    tbl = pa.concat_tables(
-        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    )
+    tbl = _concat_or(parts, pa.table({"k": pa.array([], pa.int64())}))
     keys = np.unique(tbl.column("k").to_numpy(zero_copy_only=False))
     ref = ray.put(keys)
 
@@ -3146,9 +3238,10 @@ def top_tokens_mg(sf_dir: str, k: int = 20, m: int = 4096):
                          "n": pa.array(out_n, pa.int64())})
 
     parts = ds.map_batches(_mg_partial, batch_format="pyarrow", batch_size=None)
-    tbl = pa.concat_tables(
-        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    )
+    tbl = _concat_or(parts, pa.table({"token": pa.array([], pa.string()),
+                                      "n": pa.array([], pa.int64())}))
+    if tbl.num_rows == 0:
+        return tbl
     toks = np.asarray(tbl.column("token").to_pylist(), dtype=object)
     ns = tbl.column("n").to_numpy(zero_copy_only=False)
     sentinel = np.asarray([t == "" for t in toks])
@@ -3178,9 +3271,8 @@ def top_tokens_mg(sf_dir: str, k: int = 20, m: int = 4096):
                          "n": pa.array(c.astype(np.int64), pa.int64())})
 
     parts2 = ds.map_batches(_recount, batch_format="pyarrow", batch_size=None)
-    t2 = pa.concat_tables(
-        list(parts2.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    )
+    t2 = _concat_or(parts2, pa.table({"token": pa.array([], pa.string()),
+                                      "n": pa.array([], pa.int64())}))
     toks2 = np.asarray(t2.column("token").to_pylist(), dtype=object)
     n2 = t2.column("n").to_numpy(zero_copy_only=False)
     u2, inv2 = np.unique(toks2, return_inverse=True)
@@ -3254,9 +3346,11 @@ def distinct_users_by_type(sf_dir: str, mode: str = "hll"):
                  [float(sketches[t].estimate()) for t in types], pa.float64())}
         )
     parts = ds.map_batches(_exact_partial, batch_format="pyarrow", batch_size=None)
-    tbl = pa.concat_tables(
-        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    )
+    tbl = _concat_or(parts, pa.table({"event_type": pa.array([], pa.string()),
+                                      "user_id": pa.array([], pa.int64())}))
+    if tbl.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_distinct_users": pa.array([], pa.int64())})
     et = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
     ids = tbl.column("user_id").to_numpy(zero_copy_only=False)
     o = np.lexsort((ids, et))
@@ -3315,9 +3409,12 @@ def events_pivot(sf_dir: str, driver_merge_max_rows: int = 5_000_000):
         return pa.table(cols)
 
     if driver_merge_max_rows > 0:
-        tbl = pa.concat_tables(
-            list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-        )
+        tbl = _concat_or(
+            parts, pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())}))
+        if tbl.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64())})
         if tbl.num_rows <= driver_merge_max_rows:
             types = np.unique(
                 np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
@@ -3336,11 +3433,9 @@ def events_pivot(sf_dir: str, driver_merge_max_rows: int = 5_000_000):
         u = np.unique(np.asarray(batch.column("event_type").to_pylist(), dtype=object))
         return pa.table({"t": pa.array(u.tolist(), pa.string())})
 
-    ttbl = pa.concat_tables(
-        list(
-            parts.map_batches(_types_of, batch_format="pyarrow", batch_size=None)
-            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-        )
+    ttbl = _concat_or(
+        parts.map_batches(_types_of, batch_format="pyarrow", batch_size=None),
+        pa.table({"t": pa.array([], pa.string())}),
     )
     types = np.unique(np.asarray(ttbl.column("t").to_pylist(), dtype=object))
     return sorted_group_apply(
@@ -3381,9 +3476,12 @@ def user_funnel_stages(sf_dir: str):
                          "first_ts": pa.array(ts[keep], pa.int64())})
 
     parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-    tbl = pa.concat_tables(
-        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    )
+    tbl = _concat_or(parts, pa.table({"user_id": pa.array([], pa.int64()),
+                                      "event_type": pa.array([], pa.string()),
+                                      "first_ts": pa.array([], pa.int64())}))
+    if tbl.num_rows == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "stage": pa.array([], pa.int64())})
     uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
     et = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
     ts = tbl.column("first_ts").to_numpy(zero_copy_only=False)
@@ -3447,9 +3545,9 @@ def events_value_quantiles_approx(sf_dir: str, k: int = 1024):
         )
 
     parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-    tbl = pa.concat_tables(
-        list(parts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    )
+    tbl = _concat_or(parts, pa.table({"event_type": pa.array([], pa.string()),
+                                      "value": pa.array([], pa.float64()),
+                                      "w": pa.array([], pa.int64())}))
     et = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
     v = tbl.column("value").to_numpy(zero_copy_only=False)
     w = tbl.column("w").to_numpy(zero_copy_only=False)
@@ -3851,6 +3949,16 @@ def validate_docs(sf_dir: str):
         or [pa.table({"rule": pa.array([], pa.string()),
                       "n_violations": pa.array([], pa.int64())})]
     )
+    # a zero-row corpus yields no scalar partials at all — the report must
+    # still carry every rule (the oracle's UNION branches each return a
+    # 0-count row on empty input)
+    have = set(out.column("rule").to_pylist())
+    missing = [r for r in rules if r not in have]
+    if missing:
+        out = pa.concat_tables(
+            [out, pa.table({"rule": pa.array(missing, pa.string()),
+                            "n_violations": pa.array([0] * len(missing), pa.int64())})]
+        )
     out = pa.table(
         {"rule": out.column("rule"),
          "n_violations": pc.cast(out.column("n_violations"), pa.int64())}

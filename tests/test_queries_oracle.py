@@ -922,3 +922,34 @@ def test_cms_tracks_exact_freqs(entrymod, ray_session):
     tiny = token_freq_cms(SF_DIR, w=64).to_pandas().sort_values(
         "token", ignore_index=True)
     assert (tiny.n_est.values - exact.n.values >= 0).all()
+
+
+def test_all_queries_total_on_empty_corpus(entrymod, ray_session, tmp_path):
+    """Totality sweep: every query must run (and return an empty result)
+    on a ZERO-ROW corpus — Ray emits no blocks and reports no schema for
+    empty datasets, so every driver-side collect needs an explicit
+    empty-case shape and every join/vector query an early-out."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    for t in TABLES:
+        src = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(src.slice(0, 0), str(tmp_path / f"{t}.parquet"))
+    # scalar/summary aggregates legitimately return rows on empty input
+    # (SQL count() over empty = one 0-row; ROLLUP keeps the grand total;
+    # validate_docs reports every rule at 0)
+    scalar_rows = {"distinct_users_exact": 1, "distinct_users_hll": 1,
+                   "lineitem_rollup": 1, "validate_docs": 5}
+    failures = []
+    for name, fn in entrymod.queries().items():
+        try:
+            r = fn(str(tmp_path))
+            n = (r.count() if isinstance(r, ray.data.Dataset)
+                 else (r.num_rows if isinstance(r, pa.Table) else len(r)))
+            assert n == scalar_rows.get(name, 0), (
+                f"{name}: {n} rows from an empty corpus"
+            )
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: {ex!r}"[:200])
+    assert not failures, "\n".join(failures)
