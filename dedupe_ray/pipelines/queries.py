@@ -393,7 +393,7 @@ def embedding_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     qmat = (
         q.column("embedding").combine_chunks().flatten().to_numpy(zero_copy_only=False)
         .astype(np.float64)
-        .reshape(n_queries, -1)
+        .reshape(q.num_rows, -1)  # corpus may hold fewer than n_queries
     )
     out = brute_force_topk(ds, qmat, k=k)
     qids = q.column("vec_id").to_numpy(zero_copy_only=False)
@@ -966,7 +966,7 @@ def ann_srp_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     ).sort_by("vec_id")
     qmat = (
         q.column("embedding").combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        .astype(np.float64).reshape(n_queries, -1)
+        .astype(np.float64).reshape(q.num_rows, -1)
     )
     out = srp_bucket_topk(ds, qmat, dim=qmat.shape[1], k=k,
                           hamming_radius=hamming_radius)
@@ -1076,10 +1076,18 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, nprobe: int = 4,
     ``embedding_topk``; nprobe=n_lists degrades to exact (pinned by tests)."""
     from dedupe_ray.stages.ann import ivf_topk
 
-    if _table_rows(sf_dir, "embeddings") == 0:
+    n_rows = _table_rows(sf_dir, "embeddings")
+    if n_rows == 0:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64())})
+    if n_rows < n_lists:
+        # k-means needs >= n_lists training vectors; a tiny corpus trains
+        # fewer lists. nprobe tracks the clamp when the caller asked for
+        # the exact configuration (nprobe == n_lists), so exactness holds.
+        exact = nprobe >= n_lists
+        n_lists = max(1, n_rows)
+        nprobe = n_lists if exact else min(nprobe, n_lists)
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = pa.concat_tables(
         list(
@@ -1091,7 +1099,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, nprobe: int = 4,
     ).sort_by("vec_id")
     qmat = (
         q.column("embedding").combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        .astype(np.float64).reshape(n_queries, -1)
+        .astype(np.float64).reshape(q.num_rows, -1)
     )
     out = ivf_topk(ds, qmat, dim=qmat.shape[1], k=k, nprobe=nprobe,
                    n_lists=n_lists)
@@ -4512,8 +4520,14 @@ def revenue_by_mktsegment(sf_dir: str):
             * 100.0 + 0.5
         ).astype(np.int64)
         rev = price_c * (100 - disc_c)
-        custk = boc[np.searchsorted(bok, k)]
-        code = bcode[np.searchsorted(bck, custk)]
+        pos = np.clip(np.searchsorted(bok, k), 0, max(len(bok) - 1, 0))
+        hit = bok[pos] == k if len(bok) else np.zeros(len(k), bool)
+        rev, k = rev[hit], k[hit]
+        custk = boc[pos[hit]]
+        cpos = np.clip(np.searchsorted(bck, custk), 0, max(len(bck) - 1, 0))
+        chit = bck[cpos] == custk if len(bck) else np.zeros(len(custk), bool)
+        rev = rev[chit]
+        code = bcode[cpos[chit]]
         n = np.bincount(code, minlength=nseg).astype(np.int64)
         # per-code exact partial sums: integer bincount via reduceat over
         # the (cheap, int) code sort

@@ -953,3 +953,27 @@ def test_all_queries_total_on_empty_corpus(entrymod, ray_session, tmp_path):
         except Exception as ex:  # noqa: BLE001
             failures.append(f"{name}: {ex!r}"[:200])
     assert not failures, "\n".join(failures)
+
+
+def test_all_queries_total_on_one_row_corpus(entrymod, ray_session, tmp_path):
+    """Totality on a ONE-ROW corpus: singleton groups, n−1 divisions,
+    fewer query vectors than requested, and sliced-away foreign keys (the
+    1-row lineitem's orderkey is absent from the 1-row orders) must all
+    degrade gracefully — this sweep caught the ANN reshape, the IVF
+    n_lists precondition, and an out-of-bounds fact-table probe."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    for t in TABLES:
+        src = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(src.slice(0, 1), str(tmp_path / f"{t}.parquet"))
+    failures = []
+    for name, fn in entrymod.queries().items():
+        try:
+            r = fn(str(tmp_path))
+            if isinstance(r, ray.data.Dataset):
+                r.count()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: {ex!r}"[:200])
+    assert not failures, "\n".join(failures)
