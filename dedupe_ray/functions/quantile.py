@@ -33,6 +33,11 @@ def compress(values: np.ndarray, weights: np.ndarray, k: int) -> tuple[np.ndarra
     # k bucket boundaries by cumulative weight; each kept point is the order
     # statistic at the bucket's upper grid edge, carrying the bucket's weight
     grid = np.ceil(np.arange(1, k + 1) * (total / k)).astype(np.int64)
+    # float64 grid can round the last edge below ``total`` once total weight
+    # exceeds 2^53, silently dropping the maximum value — pin the final grid
+    # point to the exact total so weight preservation holds at any scale
+    grid[-1] = total
+    np.minimum(grid, total, out=grid)
     idx = np.searchsorted(cum, grid, side="left")
     idx = np.minimum(idx, len(values) - 1)
     uniq_idx = np.unique(idx)

@@ -31,6 +31,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
+# ListArray offset ceiling; tests lower it to force the LargeListArray branch
+_I32_OFFSET_MAX = int(np.iinfo(np.int32).max)
 
 
 def canonicalize_urls(url: pa.Array | pa.ChunkedArray) -> pa.Array:
@@ -74,11 +76,16 @@ def canonicalize_urls(url: pa.Array | pa.ChunkedArray) -> pa.Array:
     o = np.lexsort((vals, par))
     vals, par = vals[o], par[o]
     counts = np.bincount(par, minlength=len(url)).astype(np.int64)
-    offsets = pa.array(np.r_[0, np.cumsum(counts)], pa.int32())
-    canon_q = pc.binary_join(
-        pa.ListArray.from_arrays(offsets, pa.array(vals.tolist(), pa.string())),
-        "&",
-    )
+    cum = np.r_[0, np.cumsum(counts)]
+    kept = pa.array(vals.tolist(), pa.string())
+    # int32 ListArray offsets overflow when a batch's total surviving param
+    # count exceeds 2^31 (ADVICE r4) — switch to int64 LargeListArray offsets
+    # above that bound; binary_join accepts both layouts
+    if cum[-1] <= _I32_OFFSET_MAX:
+        plist = pa.ListArray.from_arrays(pa.array(cum, pa.int32()), kept)
+    else:
+        plist = pa.LargeListArray.from_arrays(pa.array(cum, pa.int64()), kept)
+    canon_q = pc.binary_join(plist, "&")
     qpart = pc.if_else(
         pc.equal(canon_q, ""),
         pa.scalar(""),

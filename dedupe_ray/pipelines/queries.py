@@ -3261,6 +3261,16 @@ def top_tokens_mg(sf_dir: str, k: int = 20, m: int = 4096):
         return pa.table({"token": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
     kth = (np.partition(merged, -k)[-k] if len(merged) >= k else np.int64(0))
+    # Soundness gate (ADVICE r4): a token absent from the merged summary has
+    # true count <= err, and merged <= true, so every true top-k token is
+    # guaranteed present only when err < kth (any true top-k count >= true
+    # kth-largest >= merged kth-largest = kth > err). err == 0 means no batch
+    # ever compressed — summaries are exact. Otherwise (flat, vocab-heavy
+    # corpora where every batch exceeds m distinct tokens) a true top-k token
+    # may have been decremented out of every summary and the candidate set is
+    # NOT provably complete — fall back to the shuffle-based exact top-k.
+    if err > 0 and err >= int(kth):
+        return top_tokens(sf_dir, k=k)
     cand = np.sort(uniq[merged + err >= kth])
     ref = ray.put(cand)
 

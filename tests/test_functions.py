@@ -606,3 +606,37 @@ class TestQuantileSummary:
         # no compression occurred: summary is the exact sorted multiset
         assert (sv == v).all() and (sw == 1).all()
         assert quantile(sv, sw, 0.5) == 49.0
+
+    def test_weight_above_2_53_keeps_maximum(self):
+        # ADVICE r4: float64 grid rounding could drop the last grid point
+        # below the total once total weight exceeds 2^53, losing the max
+        # value and some weight. The pinned grid[-1] = total keeps both.
+        from dedupe_ray.functions.quantile import compress, quantile
+
+        v = np.arange(100, dtype=np.float64)
+        w = np.full(100, (1 << 53) + 12345, dtype=np.int64)
+        total = int(w.sum())
+        cv, cw = compress(v, w, 16)
+        assert int(cw.sum()) == total  # exact weight preservation
+        assert cv[-1] == 99.0  # maximum value survives compression
+        assert quantile(cv, cw, 1.0) == 99.0
+
+
+class TestUrlnormLargeOffsets:
+    def test_large_list_branch_matches_int32_branch(self, monkeypatch):
+        # ADVICE r4: int32 ListArray offsets overflow past 2^31 surviving
+        # params per batch. Force the int64 LargeListArray branch by lowering
+        # the threshold and check byte-identical output on the same input.
+        import pyarrow as pa
+
+        from dedupe_ray.functions import urlnorm
+
+        urls = pa.array(
+            ["http://a.com/x?b=2&a=1&utm_s=9", "https://WWW.b.org/?z=1",
+             None, "plain"],
+            pa.string(),
+        )
+        want = urlnorm.canonicalize_urls(urls).to_pylist()
+        monkeypatch.setattr(urlnorm, "_I32_OFFSET_MAX", 0)
+        got = urlnorm.canonicalize_urls(urls).to_pylist()
+        assert got == want

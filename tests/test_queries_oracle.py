@@ -551,6 +551,26 @@ def test_top_tokens_mg_compression_path(entrymod, con):
     )
 
 
+def test_top_tokens_mg_unsound_regime_falls_back_exact(entrymod, con):
+    """ADVICE r4: with m far below the per-batch distinct-token count, the
+    merged decrement error can reach the k-th largest merged count and the
+    MG candidate set is no longer provably complete. The soundness gate must
+    detect this and fall back to the shuffle-based exact top-k, so the
+    result STILL equals the SQL oracle even in the regime where the sketch
+    alone could be silently wrong."""
+    from dedupe_ray.pipelines import queries as Q
+
+    got = Q.top_tokens_mg(SF_DIR, k=10, m=3).to_pandas()
+    want = con.execute(
+        "SELECT t AS token, count(*) AS n FROM documents, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(t) "
+        "GROUP BY t ORDER BY n DESC, token LIMIT 10"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+
 def test_grouped_hll_tracks_exact(entrymod, con):
     """Per-group HLL estimates stay within the p=12 error envelope of the
     exact grouped distinct (which is itself SQL-oracled)."""
