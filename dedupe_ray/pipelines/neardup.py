@@ -121,17 +121,24 @@ def match_edges(
     signatures: "ray.data.Dataset",
     config: NearDupConfig | None = None,
     band_batch_size: int | None = None,
+    n_rows: int | None = None,
 ) -> "ray.data.Dataset":
     """signatures → verified match edges (src, dst, score). Materialized.
 
-    Without ``band_batch_size`` the signatures are materialized once (the
-    bundle-size probe needs a row count, and verify_edges re-reads them for
-    its slim pass anyway — on a lazy pipeline both would otherwise re-run
-    the expensive extract+sign stage). A caller streaming a corpus-scale
-    lazy pipeline that must NOT be pinned in the object store (ADVICE r3)
-    passes ``band_batch_size`` explicitly (e.g. ``band_bundle_size(n)`` from
-    parquet row-count metadata) and accepts the double execution instead."""
+    Sizing the band bundles needs a row count. In preference order:
+    ``band_batch_size`` (explicit), ``n_rows`` (caller-known count — parquet
+    footer metadata via ``sources.parquet_row_count`` or a checkpoint's
+    lineage ``rows``; the metadata path neither materializes nor
+    double-executes the signatures, VERDICT r4 #6), else the signatures are
+    materialized once (the probe needs a count, and verify_edges re-reads
+    them for its slim pass anyway — on a lazy pipeline both would otherwise
+    re-run the expensive extract+sign stage). A caller streaming a
+    corpus-scale lazy pipeline that must NOT be pinned in the object store
+    (ADVICE r3) passes one of the first two and accepts the re-execution of
+    the lazy input by the later verify pass instead."""
     config = config or NearDupConfig()
+    if band_batch_size is None and n_rows is not None:
+        band_batch_size = band_bundle_size(n_rows)
     if band_batch_size is None:
         signatures = signatures.materialize()
         band_batch_size = band_bundle_size(signatures.count())

@@ -93,7 +93,10 @@ def run_neardup_checkpointed(
         )
     edges = run.stage(
         "edges",
-        lambda: match_edges(sigs, config),
+        # row count from the signatures checkpoint's lineage sidecar (or its
+        # parquet footers) — the metadata path: no materialize, no
+        # double-execution of the checkpoint read (VERDICT r4 #6)
+        lambda: match_edges(sigs, config, n_rows=run.stage_rows("signatures")),
         upstream=["signatures"],
     )
     clusters = run.stage(

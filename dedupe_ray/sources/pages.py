@@ -82,16 +82,17 @@ def _uniform_stripped_schema(paths: list[str], max_check: int = 32):
     return first if all(s.equals(first) for s in schemas[1:]) else None
 
 
-def _parquet_blocks(paths: list[str]) -> int | None:
-    """Explicit block count for parquet inputs (row count from file
-    metadata): Ray's default 2×CPUs split makes tiny blocks whose ~50 ms
-    per-task executor dispatch dominates small corpora — target ≥8k
-    rows/block, floor 8 blocks, cap at the CPU count. Returns None (use the
-    default splitting) when metadata isn't cheaply available."""
+def parquet_row_count(paths: list[str] | str) -> int | None:
+    """Total row count from parquet FILE METADATA only — no read, no Ray
+    execution. The cheap probe that lets sizing decisions (block counts,
+    band bundle sizes) run on lazy pipelines without materializing them.
+    Returns None when any file's footer isn't readable."""
     import glob
 
     import pyarrow.parquet as pq
 
+    if isinstance(paths, str):
+        paths = [paths]
     rows = 0
     for p in paths:
         files = (
@@ -104,6 +105,18 @@ def _parquet_blocks(paths: list[str]) -> int | None:
                 rows += pq.ParquetFile(f).metadata.num_rows
             except Exception:
                 return None
+    return rows
+
+
+def _parquet_blocks(paths: list[str]) -> int | None:
+    """Explicit block count for parquet inputs (row count from file
+    metadata): Ray's default 2×CPUs split makes tiny blocks whose ~50 ms
+    per-task executor dispatch dominates small corpora — target ≥8k
+    rows/block, floor 8 blocks, cap at the CPU count. Returns None (use the
+    default splitting) when metadata isn't cheaply available."""
+    rows = parquet_row_count(paths)
+    if rows is None:
+        return None
     if rows < 1000:
         return 1
     from dedupe_ray.runtime import cluster_cpus

@@ -22,6 +22,7 @@ import logging
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -197,8 +198,15 @@ class _BroadcastVerifier:
             jw_min = self.config.jaro_winkler_min
             kidx = np.flatnonzero(keep)
             if len(kidx):
-                t1 = [self.texts[ia[k]][:512] for k in kidx]
-                t2 = [self.texts[ib[k]][:512] for k in kidx]
+                # Arrow take() gathers only the pairs under confirmation;
+                # the 512-codepoint cap is applied by an Arrow kernel and the
+                # strings become Python objects only here, at the JW boundary
+                t1 = pc.utf8_slice_codeunits(
+                    self.texts.take(pa.array(ia[kidx], pa.int64())), 0, 512
+                ).to_pylist()
+                t2 = pc.utf8_slice_codeunits(
+                    self.texts.take(pa.array(ib[kidx], pa.int64())), 0, 512
+                ).to_pylist()
                 keep[kidx[jaro_winkler_pairs(t1, t2) < jw_min]] = False
         return pa.table(
             {
@@ -262,8 +270,12 @@ def verify_edges(
         flat = tbl.column("minhash").combine_chunks().flatten().to_numpy(zero_copy_only=False)
         minhash = flat.reshape(n, config.minhash.num_perms)[order]
     if need_text:
-        all_texts = tbl.column("text").to_pylist()
-        texts = [all_texts[int(i)] for i in order]
+        # texts ride the broadcast as a zero-copy Arrow array reordered by
+        # take() (VERDICT r4 #3) — Python strings materialize only at the JW
+        # kernel boundary, and only for pairs actually being confirmed
+        texts = tbl.column("text").combine_chunks().take(
+            pa.array(order, pa.int64())
+        )
     sig_ref = ray.put((sorted_ids, simhash, minhash, texts))
 
     def _verify(batch: pa.Table) -> pa.Table:

@@ -29,6 +29,7 @@ failing the job. This is a deliberate, documented trade-off, not a stub.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import logging
 
@@ -38,7 +39,7 @@ import pyarrow as pa
 logger = logging.getLogger(__name__)
 
 __all__ = [
-    "MEDIA_SCHEMA", "MediaFeatureStage", "decode_image", "dhash_features",
+    "MEDIA_SCHEMA", "MediaFeatureStage", "media_feature_fn", "decode_image", "dhash_features",
     "dct_phash64", "dct_features", "decode_wav", "encode_wav",
     "audio_features", "iter_pnm_frames", "video_features",
 ]
@@ -404,3 +405,20 @@ class MediaFeatureStage:
             ),
         )
         return out.append_column("decode_ok", pa.array(ok, pa.bool_()))
+
+
+@functools.lru_cache(maxsize=8)
+def _stage_memo(mode: str, algo: str) -> MediaFeatureStage:
+    return MediaFeatureStage(mode=mode, algo=algo)
+
+
+def media_feature_fn(batch: pa.Table, *, mode: str = "fake",
+                     algo: str = "dhash") -> pa.Table:
+    """Task form of MediaFeatureStage for CHEAP-setup configurations: a
+    worker-local memoized instance keeps the setup-once-per-process
+    semantics while riding Ray's prestarted task workers — no per-execution
+    actor-pool cold start (~0.5 s/actor of process spawn + imports, the
+    dominant cost of small media jobs; VERDICT r4 #2/#4). Stages with HEAVY
+    state (a model, a codec context) should keep the actor-class form so
+    concurrency and placement stay explicit."""
+    return _stage_memo(mode, algo)(batch)

@@ -52,6 +52,23 @@ class CheckpointedRun:
     def _lineage_path(self, name: str) -> str:
         return os.path.join(self._stage_dir(name), _LINEAGE)
 
+    def stage_rows(self, name: str) -> int | None:
+        """Row count of a finished stage from its lineage sidecar, falling
+        back to the checkpoint's parquet footers — metadata only, never
+        executes a Dataset. Lets downstream sizing decisions (e.g.
+        ``match_edges`` band bundling) avoid materializing the stage read."""
+        try:
+            with open(self._lineage_path(name)) as f:
+                rows = json.load(f).get("rows")
+            if isinstance(rows, int):
+                return rows
+        except (OSError, json.JSONDecodeError):
+            pass
+        from dedupe_ray.sources.pages import parquet_row_count
+
+        d = self._stage_dir(name)
+        return parquet_row_count(d) if os.path.isdir(d) else None
+
     def completed(self, name: str, upstream: list[str]) -> bool:
         p = self._lineage_path(name)
         if not os.path.exists(p):
