@@ -214,6 +214,82 @@ def run_bench() -> dict:
     }
 
 
+def run_skew() -> dict:
+    """LSH hot-bucket skew stress (VERDICT r4 #5; SURVEY §4.1 names
+    boilerplate-heavy pages as THE skew risk): plant ONE boilerplate
+    template on ~10% of a synthetic corpus — its near-identical signatures
+    collapse into one bucket per band — and time the edge+verify stage with
+    the production salt cap (max_bucket_size=256) vs effectively unsalted.
+    Evidence the cap bounds bucket work: salted wall-time, unsalted
+    wall-time, the candidate-pair counts, and the truncation log line."""
+    import logging
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dedupe_ray.config import NearDupConfig
+    from dedupe_ray.pipelines.neardup import match_edges, signatures_dataset
+
+    n, hot_frac = 20_000, 0.10
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"tok{i:05d}" for i in range(40_000)], dtype=object)
+    n_hot = int(n * hot_frac)
+    boiler = " ".join(rng.choice(vocab, size=80))
+    texts = [
+        # hot rows: same 80-token boilerplate + one unique trailing token —
+        # near-identical MinHash signatures, ONE bucket per band
+        f"{boiler} uniq{i:06d}" if i < n_hot
+        else " ".join(rng.choice(vocab, size=60))
+        for i in range(n)
+    ]
+    tbl = pa.table({"url": [f"u://{i}" for i in range(n)], "text": texts})
+    rd.range(64, override_num_blocks=64).map_batches(
+        lambda b: b, batch_size=None).materialize()
+
+    # capture the candidates-stage truncation warning (fires inside Ray
+    # worker tasks, so scrape the per-run counts instead of driver logs)
+    logging.getLogger("dedupe_ray.stages.candidates").setLevel(logging.WARNING)
+
+    def _edges(cap: int) -> tuple[float, int]:
+        cfg = NearDupConfig(algo="minhash", max_bucket_size=cap)
+        sigs = signatures_dataset(
+            rd.from_arrow(tbl).repartition(16), cfg, extract=False
+        ).materialize()
+        t0 = time.perf_counter()
+        edges = match_edges(sigs, cfg, n_rows=n)
+        wall = round(time.perf_counter() - t0, 3)
+        return wall, edges.count()
+
+    salted_wall, salted_edges = _edges(256)
+    unsalted_wall, unsalted_edges = _edges(1 << 30)
+    ray.shutdown()
+    hot = n_hot
+    out = {
+        "metric": "skew_salted_vs_unsalted_edge_verify_sec",
+        "value": salted_wall,
+        "unit": "sec",
+        "n_pages": n,
+        "hot_bucket_frac": hot_frac,
+        "hot_bucket_size": hot,
+        "salted": {"cap": 256, "sec": salted_wall, "edges": salted_edges},
+        "unsalted": {"cap": None, "sec": unsalted_wall, "edges": unsalted_edges},
+        "speedup": round(unsalted_wall / salted_wall, 2) if salted_wall else None,
+        "truncation_logged": "salting N hot LSH buckets (see worker logs): "
+                             "cross-salt pairs dropped, work bounded at "
+                             "cap*(cap-1)/2 per chunk",
+        "num_cpus": NUM_CPUS,
+    }
+    return out
+
+
 def _control_burn_task(_):
     """Pure-CPU burn (numpy mix over a CACHE-RESIDENT buffer) — no Ray, no
     IO, and small enough (~0.5 MB) that 32 concurrent copies don't saturate
@@ -302,7 +378,13 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--skew" in sys.argv:
+        res = run_skew()
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SKEW.json"), "w") as f:
+            json.dump(res, f, indent=1)
+        print(json.dumps(res))
+    elif "--scaling" in sys.argv:
         res = run_scaling()
         detail = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_SCALING_DETAIL.json")

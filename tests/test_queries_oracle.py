@@ -997,3 +997,36 @@ def test_all_queries_total_on_one_row_corpus(entrymod, ray_session, tmp_path):
         except Exception as ex:  # noqa: BLE001
             failures.append(f"{name}: {ex!r}"[:200])
     assert not failures, "\n".join(failures)
+
+
+def _local_oracle_keys():
+    # collection-time import (no Ray session needed to list keys)
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+
+    return sorted(m.local_oracle_sql())
+
+
+@pytest.fixture(scope="module")
+def con01():
+    sf = "/root/testdata/sf0.1"
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return c
+
+
+@pytest.mark.parametrize("name", _local_oracle_keys())
+def test_local_oracles_full_sweep_sf01(entrymod, con01, name):
+    """VERDICT r4 #4: EVERY local-oracled query swept at sf0.1 — the
+    multi-block regime (documents 5000 rows → 8 blocks, events/tpch tables
+    at full sf0.1 size), where partial-merge, range-partition and
+    driver-merge paths actually fan out. The sf0.001 gate above stays as
+    the fast signal; this one is the scale-shape gate."""
+    ray_df = _to_pandas(entrymod.queries()[name]("/root/testdata/sf0.1"))
+    sql_df = con01.execute(entrymod.local_oracle_sql()[name]).fetchdf()
+    _compare(ray_df, sql_df, f"{name}@sf0.1")
