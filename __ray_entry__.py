@@ -149,6 +149,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens_long": Q.doc_tokens_long,
         # CMS sibling of the oracled exact probe frequencies
         "token_freq_cms": Q.token_freq_cms,
+        # ExactSubstr duplicate-span removal (Lee et al. 2021; local-oracled)
+        "dedup_spans_docs": Q.dedup_spans_docs,
+        # SemDeDup audit: n_lists=1 all-pairs quantized-cosine prune,
+        # bit-identical SQL replay (local-oracled)
+        "semdedup_embeddings_audit": Q.semdedup_embeddings_audit,
+        # SemDeDup main path (k-means is not SQL-expressible; kernel
+        # certified by the audit above + planted-copy test)
+        "semdedup_embeddings": Q.semdedup_embeddings,
     }
 
 
@@ -1047,5 +1055,45 @@ def local_oracle_sql() -> dict[str, str]:
             "WHEN c IS NULL OR c <= v THEN 2 "
             "WHEN p IS NULL OR p <= c THEN 3 "
             "ELSE 4 END AS BIGINT) AS stage FROM f"
+        ),
+        "dedup_spans_docs": (
+            # ExactSubstr replay: every 8-token window ≥2 occurrences
+            # corpus-wide covers its positions; uncovered tokens re-join.
+            # Same tokenizer normal form (lowercase, space-joined) as the
+            # Ray rewrite, so the text column hash-matches exactly.
+            "WITH dt AS (SELECT doc_id, regexp_extract_all(lower("
+            "coalesce(text, '')), '[a-z0-9]+') AS toks FROM documents), "
+            "wins AS (SELECT doc_id, i AS s, "
+            "array_to_string(toks[i:i+7], ' ') AS win "
+            "FROM dt, UNNEST(range(1, len(toks) - 6)) AS u(i)), "
+            "rep AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2), "
+            "cov AS (SELECT DISTINCT w.doc_id AS doc_id, w.s + o.o AS p "
+            "FROM wins w JOIN rep USING (win), UNNEST(range(0, 8)) AS o(o)), "
+            "tok AS (SELECT doc_id, toks[i] AS tok, i AS p "
+            "FROM dt, UNNEST(range(1, len(toks) + 1)) AS u(i)) "
+            "SELECT d.doc_id AS doc_id, "
+            "coalesce(string_agg(t.tok, ' ' ORDER BY t.p) "
+            "FILTER (WHERE c.p IS NULL), '') AS text "
+            "FROM dt d "
+            "LEFT JOIN tok t ON t.doc_id = d.doc_id "
+            "LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p "
+            "GROUP BY d.doc_id"
+        ),
+        "semdedup_embeddings_audit": (
+            # SemDeDup n_lists=1 prune: drop b iff ANY a < b has quantized
+            # fixed-point cosine >= floor(tau*1e6 + 0.5) — same q/floor
+            # chain as embedding_neardup_audit, bit-identical to the kernel
+            "WITH q AS (SELECT vec_id, list_transform("
+            "CAST(embedding AS DOUBLE[]), x -> floor(x * 1024.0 + 0.5)) "
+            "AS qe FROM embeddings), "
+            "n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nn FROM q), "
+            "drops AS (SELECT DISTINCT b.vec_id AS vec_id "
+            "FROM n a JOIN n b ON a.vec_id < b.vec_id "
+            "WHERE a.nn > 0 AND b.nn > 0 AND "
+            "floor(1000000.0 * (list_dot_product(a.qe, b.qe) / "
+            "sqrt(a.nn * b.nn)) + 0.5) >= 400000) "
+            "SELECT e.vec_id AS vec_id, CAST(0 AS BIGINT) AS cluster, "
+            "d.vec_id IS NULL AS keep "
+            "FROM embeddings e LEFT JOIN drops d USING (vec_id)"
         ),
     }

@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "token_freq_exact",            # r4: probe-token exact counts (broadcast + bincount)
     "token_freq_cms",              # r4: Count-Min point-frequency sketch
     "events_retention_cohorts",    # r4: cohort matrix via argmin broadcast + pair dedupe
+    "dedup_spans_docs",            # r5: ExactSubstr duplicate-span removal (Lee et al.)
+    "semdedup_embeddings",         # r5: SemDeDup k-means + within-cluster cosine prune
 ]
 HEADLINE = "neardup_pages_bench"
 

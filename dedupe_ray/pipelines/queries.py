@@ -1040,6 +1040,107 @@ def segment_dedup_docs(sf_dir: str, min_count: int = 3):
     return ds.map_batches(_score, batch_format="pyarrow", batch_size=None)
 
 
+def dedup_spans_docs(sf_dir: str, w: int = 8, min_count: int = 2):
+    """ExactSubstr-style duplicate-SPAN removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": drop any
+    substring repeated across the corpus, not whole near-dup docs): every
+    w-token window occurring ≥ ``min_count`` times corpus-wide marks ALL its
+    token positions as duplicated; the rewrite keeps only uncovered tokens
+    (space-joined, lowercased — the tokenizer's normal form). OVERLAPPING
+    token windows distinguish this from the segment-grain C4 ops
+    (``segment_dedup_docs``/``segment_rewrite_docs``, '. '-split segments).
+
+    Two phases: (1) distributed window counts — per-batch partial counts,
+    shuffled on ``hash64(window)`` through ONE ``sorted_group_apply`` sort
+    (Ray's generic string groupby costs >10 s at 10⁶ distinct keys —
+    CLAUDE.md composite-agg rule; the hash key sorts as fixed uint64 and the
+    literal string rides along, grouped EXACTLY within each hash group, so a
+    64-bit collision cannot merge two windows), threshold, and only the
+    repeated-window vocabulary (boilerplate) reaches the driver, broadcast
+    once; (2) one streaming rewrite pass — windows recomputed per batch,
+    coverage via a vectorized start/stop diff + cumsum, never a
+    per-position loop. Literal strings in the exchange keep the SQL oracle
+    exact; at 10¹² docs they drop for (hash, count) rows + a hash-set
+    broadcast with a stated collision bound. A true suffix-array ExactSubstr
+    (arbitrary-length matches) is future work; fixed-w windows are the
+    bounded-memory variant the paper's §4.1 approximates with w=50."""
+    import re
+
+    from dedupe_ray.functions.hashing import hash_tokens
+    from dedupe_ray.stages.banding import _mix64
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _win_partial(batch: pa.Table) -> pa.Table:
+        wins: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks = pat.findall((t or "").lower())
+            wins.extend(
+                " ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)
+            )
+        if not wins:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "win": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.asarray(wins, dtype=object), return_counts=True)
+        # process-stable shuffle key (builtin hash() is salted per worker)
+        h = _mix64(hash_tokens(uniq.tolist()))
+        return pa.table({"h": pa.array(h, pa.uint64()),
+                         "win": pa.array(uniq.tolist(), pa.string()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def _rep_block(block: pa.Table) -> pa.Table:
+        wins_b = np.asarray(block.column("win").to_pylist(), dtype=object)
+        cs = block.column("c").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(wins_b, return_inverse=True)
+        tot = np.bincount(inv, weights=cs).astype(np.int64)
+        keep = uniq[tot >= min_count]
+        return pa.table({"win": pa.array(keep.tolist(), pa.string())})
+
+    rep_parts = list(
+        sorted_group_apply(
+            ds.map_batches(_win_partial, batch_format="pyarrow", batch_size=None),
+            "h", _rep_block,
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    rep = (
+        np.sort(np.asarray(pa.concat_tables(rep_parts).column("win").to_pylist()))
+        if rep_parts
+        else np.asarray([], dtype=object)
+    )
+    rep_ref = ray.put(rep)
+
+    def _rewrite(batch: pa.Table) -> pa.Table:
+        r = ray.get(rep_ref)
+        out: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks = pat.findall((t or "").lower())
+            n = len(toks)
+            if n < w or not len(r):
+                out.append(" ".join(toks))
+                continue
+            wins = np.asarray(
+                [" ".join(toks[i:i + w]) for i in range(n - w + 1)], dtype=object
+            )
+            pos = np.clip(np.searchsorted(r, wins), 0, len(r) - 1)
+            starts = np.flatnonzero(r[pos] == wins)
+            if not len(starts):
+                out.append(" ".join(toks))
+                continue
+            # span-union coverage: +1 at each hit start, -1 past its end
+            diff = np.zeros(n + 1, np.int32)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, starts + w, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            out.append(" ".join(tok for tok, c in zip(toks, covered) if not c))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    return ds.map_batches(_rewrite, batch_format="pyarrow", batch_size=None)
+
+
 _EMAIL_RE_SRC = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 
 
@@ -1123,6 +1224,45 @@ def ann_ivf_exact_topk(sf_dir: str):
     ``_IVF_N_LISTS`` constant so the exactness can't silently decay if the
     list count changes."""
     return ann_ivf_topk(sf_dir, nprobe=_IVF_N_LISTS, n_lists=_IVF_N_LISTS)
+
+
+def semdedup_embeddings(sf_dir: str, n_lists: int = 10, tau: float = 0.40):
+    """SemDeDup semantic deduplication (Abbas et al. 2023) over the
+    embeddings table: spherical k-means partitions the space, then within
+    each cluster any vector whose quantized cosine to a lower-id member
+    reaches ``tau`` is marked keep=False — the sub-quadratic semantic-dup
+    prune for training corpora (vectors never compare across clusters).
+    Returns (vec_id, cluster, keep) for every vector. No SQL oracle
+    (iterative k-means); the pruning kernel is certified by
+    ``semdedup_embeddings_audit`` (n_lists=1 replays the all-pairs prune in
+    DuckDB bit-identically) and planted perturbed-copy recovery is pinned
+    by test."""
+    from dedupe_ray.stages.ann import semdedup
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64()),
+                      "keep": pa.array([], pa.bool_())})
+    n_rows = _table_rows(sf_dir, "embeddings")
+    if n_rows == 0:
+        return empty
+    if n_rows < 4 * n_lists:
+        # k-means trains on a 1-in-4 hash-mod sample; tiny corpora collapse
+        # to the single-cluster (exact all-pairs) path
+        n_lists = 1
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, dim=64, n_lists=n_lists, tau=tau)
+
+
+def semdedup_embeddings_audit(sf_dir: str, tau: float = 0.40):
+    """SemDeDup pruning kernel in audit mode: ``n_lists=1`` puts the whole
+    corpus in one cluster, so the within-cluster prune becomes a plain
+    all-pairs quantized-cosine scan — SQL-expressible, and every arithmetic
+    step (q = floor(x·1024 + 0.5); integer-exact dots; one IEEE
+    div/sqrt/floor chain) is bit-identical to DuckDB by construction (the
+    ``embedding_neardup_audit`` recipe). Audit instrument: all-pairs is
+    deliberate and only run at test scales (≤ ``max_cluster_chunk`` rows
+    stay un-chunked, matching the SQL exactly)."""
+    return semdedup_embeddings(sf_dir, n_lists=1, tau=tau)
 
 
 def cluster_groups(sf_dir: str):

@@ -27,6 +27,7 @@ import ray.data
 __all__ = [
     "brute_force_topk", "srp_bucket_topk", "srp_codes64",
     "ivf_train_centroids", "ivf_topk", "embedding_neardup_edges",
+    "semdedup",
 ]
 
 
@@ -425,3 +426,118 @@ def embedding_neardup_edges(
         return ray.data.from_arrow(out)
     distinct = dedupe_edges(cand).materialize()
     return verify_edges(distinct, codes, cfg)
+
+
+def semdedup(
+    embeddings: "ray.data.Dataset",
+    dim: int,
+    n_lists: int = 10,
+    tau: float = 0.40,
+    iters: int = 8,
+    max_cluster_chunk: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): spherical k-means clusters
+    the embedding space, then WITHIN each cluster any vector whose cosine to
+    a lower-id member reaches ``tau`` is dropped — semantic near-dups prune
+    sub-quadratically because vectors are only ever compared inside their
+    cluster, never across the corpus. Returns (vec_id, cluster, keep).
+
+    Ray shape: centroids train driver-side on a deterministic hash-mod
+    sample (``ivf_train_centroids`` — fixed-size driver array at any corpus
+    size) and broadcast once; ONE streaming pass assigns each batch by
+    matmul; the single shuffle is the cluster-key sort that co-locates each
+    cluster's vectors for the vectorized per-group prune
+    (``sorted_group_apply`` — the same partitioning shape as LSH banding).
+    Degenerate clusters are chunked at ``max_cluster_chunk`` members (prune
+    stays within a chunk, logged) so one mega-cluster cannot go quadratic —
+    the LSH hot-bucket salting rule applied to k-means skew.
+
+    The similarity is the QUANTIZED fixed-point cosine (q = floor(x·1024 +
+    0.5); sim_fp = floor(1e6·dot/√(na·nb) + 0.5) — exact integer sums in
+    float64, single correctly-rounded IEEE ops), so ``n_lists=1`` (one
+    cluster = plain all-pairs prune) replays bit-identically in DuckDB: the
+    audit path for this operator."""
+    import logging
+
+    logger = logging.getLogger(__name__)
+    thresh = int(np.floor(tau * 1e6 + 0.5))
+
+    if n_lists <= 1:
+        def _assign(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {"cluster": pa.array(np.zeros(n, np.int64), pa.int64()),
+                 id_col: batch.column(id_col),
+                 vec_col: batch.column(vec_col)}
+            )
+    else:
+        cents = ivf_train_centroids(
+            embeddings, dim, n_lists=n_lists, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        cents_ref = ray.put(cents)
+
+        def _assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(cents_ref)
+            mat = _normalize(_batch_matrix(batch, vec_col, np.float64))
+            cl = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+            return pa.table(
+                {"cluster": pa.array(cl, pa.int64()),
+                 id_col: batch.column(id_col),
+                 vec_col: batch.column(vec_col)}
+            )
+
+    assigned = embeddings.map_batches(
+        _assign, batch_format="pyarrow", batch_size=None
+    )
+
+    def _prune_block(block: pa.Table) -> pa.Table:
+        cl = block.column("cluster").to_numpy(zero_copy_only=False)
+        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _batch_matrix(block, vec_col, np.float64)
+        out_id, out_cl, out_keep = [], [], []
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        bounds = np.r_[starts, len(cl)]
+        for gi in range(len(starts)):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            gids = ids[lo:hi]
+            o = np.argsort(gids, kind="stable")
+            gids, gmat = gids[o], mat[lo:hi][o]
+            m = len(gids)
+            if m > max_cluster_chunk:
+                logger.warning(
+                    "semdedup: chunking hot cluster %d (%d members > cap %d) "
+                    "— prune stays within chunks",
+                    int(cl[lo]), m, max_cluster_chunk,
+                )
+            keep = np.ones(m, dtype=bool)
+            for c0 in range(0, m, max_cluster_chunk):
+                sub = gmat[c0:c0 + max_cluster_chunk]
+                q = np.floor(sub * 1024.0 + 0.5)
+                dots = q @ q.T  # exact: integer-valued float64 sums < 2^53
+                nn = np.diag(dots).copy()
+                denom = np.sqrt(np.outer(nn, nn))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sim_fp = np.floor(1e6 * (dots / denom) + 0.5)
+                sim_fp[~np.isfinite(sim_fp)] = 0.0
+                hit = np.triu(sim_fp >= thresh, k=1)  # earlier-id rows above
+                keep[c0:c0 + max_cluster_chunk] = ~hit.any(axis=0)
+            out_id.append(gids)
+            out_cl.append(np.full(m, cl[lo], np.int64))
+            out_keep.append(keep)
+        if not out_id:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.bool_())})
+        return pa.table(
+            {id_col: pa.array(np.concatenate(out_id), pa.int64()),
+             "cluster": pa.array(np.concatenate(out_cl), pa.int64()),
+             "keep": pa.array(np.concatenate(out_keep), pa.bool_())}
+        )
+
+    from dedupe_ray.stages.groupapply import sorted_group_apply
+
+    return sorted_group_apply(assigned, "cluster", _prune_block)

@@ -1030,3 +1030,53 @@ def test_local_oracles_full_sweep_sf01(entrymod, con01, name):
     ray_df = _to_pandas(entrymod.queries()[name]("/root/testdata/sf0.1"))
     sql_df = con01.execute(entrymod.local_oracle_sql()[name]).fetchdf()
     _compare(ray_df, sql_df, f"{name}@sf0.1")
+
+
+def test_semdedup_drops_planted_copies(entrymod, ray_session):
+    """SemDeDup main path (k-means, n_lists=10): deterministic perturbed
+    copies (cosine ≈ 0.998 to their source) must land in their source's
+    cluster and be dropped at tau=0.9, while every original survives (max
+    original-pair cosine in the testdata is ~0.6)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dedupe_ray.stages.ann import semdedup
+
+    base = _to_pandas(
+        ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        .select_columns(["vec_id", "embedding"])
+    )
+    ids = base.vec_id.to_numpy()
+    mat = np.stack(base.embedding.to_numpy()).astype(np.float64)
+    pick = ids % 10 == 0
+    noise = np.stack([
+        np.random.default_rng(int(i)).normal(0, 0.02, mat.shape[1])
+        for i in ids[pick]
+    ])
+    all_ids = np.concatenate([ids, ids[pick] + 1_000_000])
+    all_mat = np.concatenate([mat, mat[pick] + noise]).astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": pa.array(all_ids, pa.int64()),
+         "embedding": pa.FixedSizeListArray.from_arrays(
+             pa.array(all_mat.reshape(-1), pa.float32()), all_mat.shape[1])}
+    )
+    out = _to_pandas(
+        semdedup(ray.data.from_arrow(tbl), dim=mat.shape[1],
+                 n_lists=10, tau=0.9)
+    ).set_index("vec_id")
+    planted = ids[pick] + 1_000_000
+    assert len(out) == len(all_ids)
+    assert out.loc[ids, "keep"].all(), "no original may drop at tau=0.9"
+    same_cluster = (
+        out.loc[planted, "cluster"].to_numpy()
+        == out.loc[ids[pick], "cluster"].to_numpy()
+    )
+    dropped = ~out.loc[planted, "keep"].to_numpy()
+    # SemDeDup's documented recall limit: a copy whose noise pushes it
+    # across a k-means boundary never meets its source (the paper's known
+    # trade for sub-quadratic cost) — every SAME-cluster copy must drop,
+    # and boundary escapes must be rare
+    assert dropped[same_cluster].all(), "every same-cluster copy drops"
+    assert dropped.mean() >= 0.9, f"recall {dropped.mean():.2f} < 0.9"
+    assert same_cluster.mean() >= 0.9
