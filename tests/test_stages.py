@@ -926,3 +926,40 @@ class TestPngDecoder:
         msg = "\n".join(r.message for r in caplog.records)
         assert "quarantined 2/2" in msg and "jpeg=1" in msg and "empty=1" in msg
         assert "install pillow to decode jpeg" in msg
+
+
+class TestSemdedupChunking:
+    def test_hot_cluster_chunked(self, ray_session):
+        """A cluster above max_cluster_chunk must prune within chunks
+        (bounded quadratic work — the LSH salting rule applied to k-means
+        skew): exact copies split across chunks keep ONE survivor per
+        chunk, never one overall. (The truncation warning fires inside a
+        Ray worker, so it is not asserted here — the skew bench captures
+        it in worker logs.)"""
+        import pyarrow as pa
+        import ray.data
+
+        from dedupe_ray.stages.ann import semdedup
+
+        rng = np.random.RandomState(21)
+        # 12 copies of ONE vector + 20 unrelated vectors, chunk cap 8:
+        # copies split 8+4 across chunks; within each chunk every copy
+        # after the first drops -> exactly 2 survivors of the 12
+        base = rng.randn(16).astype(np.float32)
+        dups = np.tile(base, (12, 1))
+        others = rng.randn(20, 16).astype(np.float32) * 5
+        mat = np.concatenate([dups, others])
+        ids = np.arange(len(mat), dtype=np.int64)
+        tbl = pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "embedding": pa.FixedSizeListArray.from_arrays(
+                 pa.array(mat.reshape(-1), pa.float32()), 16)}
+        )
+        out = pa.concat_tables(list(
+            semdedup(ray.data.from_arrow(tbl), dim=16, n_lists=1,
+                     tau=0.99, max_cluster_chunk=8)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )).to_pandas().set_index("vec_id")
+        dup_keep = out.loc[ids[:12], "keep"].to_numpy()
+        assert dup_keep.sum() == 2  # one survivor per chunk (8+4 split)
+        assert dup_keep[0] and dup_keep[8]
