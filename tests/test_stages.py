@@ -963,3 +963,125 @@ class TestSemdedupChunking:
         dup_keep = out.loc[ids[:12], "keep"].to_numpy()
         assert dup_keep.sum() == 2  # one survivor per chunk (8+4 split)
         assert dup_keep[0] and dup_keep[8]
+
+
+class TestGifDecoder:
+    """Pure-Python GIF decode: round-trips against an in-test spec-exact
+    encoder — both a real LZW compressor (dictionary growth + width bumps)
+    and the fixed-width clear-code variant, plus interlace."""
+
+    @staticmethod
+    def _lzw_encode(indices, min_code_size: int) -> bytes:
+        clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        width = min_code_size + 1
+        bits, acc, nbits = bytearray(), 0, 0
+
+        def emit(code, w):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += w
+            while nbits >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear, width)
+        seq = b""
+        for i in indices:
+            nxt = seq + bytes([int(i)])
+            if nxt in table:
+                seq = nxt
+                continue
+            emit(table[seq], width)
+            table[nxt] = next_code
+            next_code += 1
+            # GIF width bump: decoder grows width when ITS dict reaches
+            # 2^width; its dict stays one entry behind the encoder's
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            seq = bytes([int(i)])
+        if seq:
+            emit(table[seq], width)
+        emit(eoi, width)
+        if nbits:
+            bits.append(acc & 0xFF)
+        return bytes(bits)
+
+    @classmethod
+    def _encode(cls, idx: "np.ndarray", palette: "np.ndarray",
+                interlace: bool = False, local_table: bool = False) -> bytes:
+        h, w = idx.shape
+        n = len(palette)
+        size_field = max(1, int(np.ceil(np.log2(n))) - 1) if n > 2 else 0
+        size_field = 0
+        while (2 << size_field) < n:
+            size_field += 1
+        pal = np.zeros((2 << size_field, 3), np.uint8)
+        pal[:n] = palette
+        head = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        if not local_table:
+            head += bytes([0x80 | size_field, 0, 0]) + pal.tobytes()
+        else:
+            head += bytes([0, 0, 0])
+        # graphic-control extension: exercises the sub-block skipper
+        head += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        desc = b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + \
+            h.to_bytes(2, "little")
+        iflags = (0x40 if interlace else 0)
+        if local_table:
+            iflags |= 0x80 | size_field
+            desc += bytes([iflags]) + pal.tobytes()
+        else:
+            desc += bytes([iflags])
+        rows = idx
+        if interlace:
+            order = np.r_[np.arange(0, h, 8), np.arange(4, h, 8),
+                          np.arange(2, h, 4), np.arange(1, h, 2)]
+            rows = idx[order]
+        min_code = max(2, size_field + 1)
+        lzw = cls._lzw_encode(rows.reshape(-1), min_code)
+        body = bytes([min_code])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            body += bytes([len(chunk)]) + chunk
+        return head + desc + body + b"\x00\x3b"
+
+    def test_lzw_roundtrip(self):
+        from dedupe_ray.stages.multimodal import _parse_gif
+
+        rng = np.random.RandomState(4)
+        pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+        # repetitive indices drive real dictionary growth + width bumps
+        idx = np.tile(rng.randint(0, 16, (8, 25), dtype=np.uint8), (5, 2))
+        got = _parse_gif(self._encode(idx, pal))
+        assert (got == pal[idx]).all()
+
+    def test_interlace_and_local_table(self):
+        from dedupe_ray.stages.multimodal import _parse_gif
+
+        rng = np.random.RandomState(6)
+        pal = rng.randint(0, 256, (8, 3), dtype=np.uint8)
+        idx = rng.randint(0, 8, (19, 7), dtype=np.uint8)  # odd height
+        assert (_parse_gif(self._encode(idx, pal, interlace=True))
+                == pal[idx]).all()
+        assert (_parse_gif(self._encode(idx, pal, local_table=True))
+                == pal[idx]).all()
+
+    def test_decode_image_gif_is_luma(self):
+        from dedupe_ray.stages.multimodal import _luma, decode_image
+
+        rng = np.random.RandomState(8)
+        pal = rng.randint(0, 256, (4, 3), dtype=np.uint8)
+        idx = rng.randint(0, 4, (10, 10), dtype=np.uint8)
+        got = decode_image(self._encode(idx, pal))
+        assert np.allclose(got, _luma(pal[idx]))
+
+    def test_truncated_gif_raises(self):
+        import pytest as _pytest
+
+        from dedupe_ray.stages.multimodal import _parse_gif
+
+        with _pytest.raises(ValueError):
+            _parse_gif(b"GIF89a\x05\x00\x05\x00\x00\x00\x00\x3b")
