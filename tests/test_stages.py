@@ -1085,3 +1085,311 @@ class TestGifDecoder:
 
         with _pytest.raises(ValueError):
             _parse_gif(b"GIF89a\x05\x00\x05\x00\x00\x00\x00\x3b")
+
+
+# ---------------------------------------------------------------------------
+# JPEG: spec-exact in-test ENCODER (Annex K tables, canonical Huffman codes
+# built independently from (counts, values)) to round-trip the decoder
+# ---------------------------------------------------------------------------
+
+_JQT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], np.int32)
+_JQT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], np.int32)
+# Annex K typical Huffman tables: (counts[16], values)
+_JHUFF = {
+    ("dc", 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                bytes(range(12))),
+    ("dc", 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                bytes(range(12))),
+    ("ac", 0): ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+                bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])),
+    ("ac", 1): ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+                bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])),
+}
+
+
+def _canonical_codes(counts, values):
+    """(counts, values) → {symbol: (code, length)} by the T.81 algorithm."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code, length):
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _jpeg_quality_tables(quality):
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_JQT_LUMA * scale + 50) // 100, 1, 255).astype(np.int32)
+    qc = np.clip((_JQT_CHROMA * scale + 50) // 100, 1, 255).astype(np.int32)
+    return ql, qc
+
+
+def _encode_jpeg(img, quality=90, subsample=False, restart_interval=0):
+    """Baseline JFIF encoder (test oracle): 4:4:4 or 4:2:0, Annex K tables."""
+    from dedupe_ray.functions.jpeg import _ZIGZAG, dct2_matrix
+
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql, qc = _jpeg_quality_tables(quality)
+    if gray:
+        y = img.astype(np.float64)
+        planes = [y]
+        samp = [(1, 1)]
+        qtab = [ql]
+    else:
+        f = img.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128
+        cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128
+        if subsample:
+            def down2(p):
+                hh, ww = (p.shape[0] + 1) & ~1, (p.shape[1] + 1) & ~1
+                pad = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                             mode="edge")
+                return pad.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            planes = [y, down2(cb), down2(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qtab = [ql, qc, qc]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    cmat = dct2_matrix()
+    # quantized zigzag blocks per component, MCU-ordered
+    comp_blocks = []
+    for p, (hs, vs), q in zip(planes, samp, qtab):
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        pad = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                     mode="edge") - 128.0
+        blocks = pad.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,kl->abil", cmat, blocks, cmat.T)
+        zz = coef.reshape(-1, 64)[:, :]  # raster per block
+        zig = zz.reshape(-1, 8, 8).reshape(-1, 64)[:, _ZIGZAG]
+        qz = np.round(zig / q[None, :]).astype(np.int32)
+        comp_blocks.append(qz.reshape(ph // 8, pw // 8, 64))
+    # entropy encode
+    tabs = {k: _canonical_codes(*v) for k, v in _JHUFF.items()}
+    bw = _JBitWriter()
+    pred = [0] * len(planes)
+    rst = 0
+
+    def put_mag(v):
+        size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return size, (v if v >= 0 else v + (1 << size) - 1)
+
+    n_mcu = mcux * mcuy
+    body = bytearray()
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            body += bw.out + bytes([0xFF, 0xD0 + (rst & 7)])
+            bw = _JBitWriter()
+            rst += 1
+            pred = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, (hs, vs) in enumerate(samp):
+            tid = 0 if ci == 0 else 1
+            dc = tabs[("dc", tid)]
+            ac = tabs[("ac", tid)]
+            for by in range(vs):
+                for bx in range(hs):
+                    blk = comp_blocks[ci][my * vs + by, mx * hs + bx]
+                    diff = int(blk[0]) - pred[ci]
+                    pred[ci] = int(blk[0])
+                    if diff == 0:
+                        bw.put(*dc[0])
+                    else:
+                        size, mag = put_mag(diff)
+                        bw.put(*dc[size])
+                        bw.put(mag, size)
+                    run = 0
+                    nz = np.nonzero(blk[1:])[0]
+                    last = nz[-1] + 1 if len(nz) else 0
+                    for k in range(1, last + 1):
+                        v = int(blk[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            bw.put(*ac[0xF0])
+                            run -= 16
+                        size, mag = put_mag(v)
+                        bw.put(*ac[(run << 4) | size])
+                        bw.put(mag, size)
+                        run = 0
+                    if last < 63:
+                        bw.put(*ac[0x00])
+    bw.flush()
+    body += bw.out
+    # markers
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(ql.astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(qc.astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    for (kind, tid), (counts, values) in _JHUFF.items():
+        if gray and tid == 1:
+            continue
+        tc = 0 if kind == "dc" else 1
+        out += seg(0xC4, bytes([(tc << 4) | tid]) + bytes(counts) + values)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    return out + bytes(body) + b"\xff\xd9"
+
+
+class TestJpegDecoder:
+    def test_dct_basis_inverts(self):
+        from dedupe_ray.functions.jpeg import dct2_matrix
+
+        rng = np.random.RandomState(2)
+        x = rng.randn(8, 8)
+        c = dct2_matrix()
+        assert np.allclose(c.T @ (c @ x @ c.T) @ c, x, atol=1e-12)
+        assert np.allclose(c @ c.T, np.eye(8), atol=1e-12)
+
+    def test_flat_gray_roundtrip_near_exact(self):
+        from dedupe_ray.functions.jpeg import decode_jpeg
+
+        img = np.full((24, 17), 77, np.uint8)
+        got = decode_jpeg(_encode_jpeg(img, quality=90))
+        assert got.shape == (24, 17)
+        assert np.abs(got.astype(int) - 77).max() <= 3
+
+    def test_smooth_rgb_roundtrip_444(self):
+        from dedupe_ray.functions.jpeg import decode_jpeg
+
+        yy, xx = np.mgrid[0:40, 0:33]
+        img = np.stack([
+            (yy * 3 + 20) % 200 + 20,
+            (xx * 4 + 40) % 200 + 20,
+            ((yy + xx) * 2 + 60) % 200 + 20,
+        ], axis=-1).astype(np.uint8)
+        got = decode_jpeg(_encode_jpeg(img, quality=95))
+        assert got.shape == img.shape
+        err = np.abs(got.astype(int) - img.astype(int))
+        assert err.mean() < 4 and err.max() <= 40, (err.mean(), err.max())
+
+    def test_rgb_420_subsampled(self):
+        from dedupe_ray.functions.jpeg import decode_jpeg
+
+        yy, xx = np.mgrid[0:35, 0:29]
+        img = np.stack([
+            (yy * 5) % 180 + 30, (xx * 5) % 180 + 30,
+            ((yy * 2 + xx) * 3) % 180 + 30,
+        ], axis=-1).astype(np.uint8)
+        got = decode_jpeg(_encode_jpeg(img, quality=92, subsample=True))
+        assert got.shape == img.shape
+        err = np.abs(got.astype(int) - img.astype(int))
+        # chroma is 2x2-averaged: gradients smear across the subsample grid
+        assert err.mean() < 8, err.mean()
+
+    def test_restart_markers(self):
+        from dedupe_ray.functions.jpeg import decode_jpeg
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(60, 200, (24, 40), dtype=np.uint8)
+        a = decode_jpeg(_encode_jpeg(img, quality=85, restart_interval=2))
+        b = decode_jpeg(_encode_jpeg(img, quality=85))
+        assert (a == b).all()
+
+    def test_progressive_rejected(self):
+        import pytest as _pytest
+
+        from dedupe_ray.functions.jpeg import decode_jpeg
+
+        img = np.full((8, 8), 100, np.uint8)
+        payload = bytearray(_encode_jpeg(img))
+        i = payload.find(b"\xff\xc0")
+        payload[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with _pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bytes(payload))
+
+    def test_decode_image_jpeg_luma(self):
+        from dedupe_ray.stages.multimodal import decode_image
+
+        img = np.full((16, 16, 3), 128, np.uint8)
+        got = decode_image(_encode_jpeg(img, quality=90))
+        assert got.shape == (16, 16)
+        assert np.abs(got - 128.0).max() <= 3
