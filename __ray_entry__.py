@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup main path (k-means is not SQL-expressible; kernel
         # certified by the audit above + planted-copy test)
         "semdedup_embeddings": Q.semdedup_embeddings,
+        # corpus-bigram-LM document scoring (CCNet quality-stage shape;
+        # exact-ppm fixed point, local-oracled)
+        "lm_score_docs": Q.lm_score_docs,
     }
 
 
@@ -1095,5 +1098,26 @@ def local_oracle_sql() -> dict[str, str]:
             "SELECT e.vec_id AS vec_id, CAST(0 AS BIGINT) AS cluster, "
             "d.vec_id IS NULL AS keep "
             "FROM embeddings e LEFT JOIN drops d USING (vec_id)"
+        ),
+        "lm_score_docs": (
+            # smoothed-bigram ppm replay: same exact-int product, one IEEE
+            # division, floor per term; integer per-doc sums
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(lower("
+            "coalesce(text, '')), '[a-z0-9]+') AS t FROM documents), "
+            "uni AS (SELECT t[i] AS w, count(*) AS c1 FROM tok, "
+            "UNNEST(range(1, len(t) + 1)) AS u(i) GROUP BY w), "
+            "v AS (SELECT count(*) AS vs FROM uni), "
+            "big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM tok, "
+            "UNNEST(range(1, len(t))) AS u(i)), "
+            "bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2), "
+            "scored AS (SELECT b.doc_id, CAST(floor(1000000.0 * (bc.c12 + 1) "
+            "/ (uni.c1 + v.vs)) AS BIGINT) AS p_ppm "
+            "FROM big b JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2 "
+            "JOIN uni ON uni.w = b.w1 CROSS JOIN v) "
+            "SELECT tok.doc_id AS doc_id, "
+            "CAST(coalesce(count(s.p_ppm), 0) AS BIGINT) AS n_bigrams, "
+            "CAST(coalesce(sum(s.p_ppm), 0) AS BIGINT) AS sum_p_ppm "
+            "FROM tok LEFT JOIN scored s ON s.doc_id = tok.doc_id "
+            "GROUP BY tok.doc_id"
         ),
     }

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "events_retention_cohorts",    # r4: cohort matrix via argmin broadcast + pair dedupe
     "dedup_spans_docs",            # r5: ExactSubstr duplicate-span removal (Lee et al.)
     "semdedup_embeddings",         # r5: SemDeDup k-means + within-cluster cosine prune
+    "lm_score_docs",               # r5: corpus-bigram-LM scoring (CCNet quality shape)
 ]
 HEADLINE = "neardup_pages_bench"
 

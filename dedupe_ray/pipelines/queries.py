@@ -1141,6 +1141,99 @@ def dedup_spans_docs(sf_dir: str, w: int = 8, min_count: int = 2):
     return ds.map_batches(_rewrite, batch_format="pyarrow", batch_size=None)
 
 
+def lm_score_docs(sf_dir: str):
+    """Corpus-LM document scoring — the CCNet quality stage's shape
+    (Wenzek et al. 2020 score documents with an LM; C4/RefinedWeb variants
+    use n-gram statistics): a smoothed BIGRAM model is built from the corpus
+    itself in one distributed pass, broadcast once, and every document is
+    scored in a second streaming pass. Per doc: ``n_bigrams`` and
+    ``sum_p_ppm`` = Σ floor(1e6·(c(w1,w2)+1)/(c(w1)+V)) — add-one-smoothed
+    conditional probabilities in exact parts-per-million. The fixed-point
+    form (one exact-int product, one IEEE division, one floor per term;
+    integer sum) is bit-identical to DuckDB by construction — a log-space
+    perplexity would hit cross-libm transcendental drift, so the monotone
+    per-term probability is scored instead and the log is left to the
+    consumer. Model build = two vocabulary-sized groupbys over pre-reduced
+    per-batch partials (the ``top_tokens`` shape); at web scale the
+    broadcast side becomes a capped/hashed model artifact (CCNet ships a
+    fixed-size trained LM) — the two-pass structure is unchanged."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    pat = re.compile(_ASCII_TOKEN_RE_SRC)
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        unis: list[str] = []
+        bis: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks = pat.findall((t or "").lower())
+            unis.extend(toks)
+            bis.extend(f"{a}\x00{b}" for a, b in zip(toks, toks[1:]))
+        out_k: list[str] = []
+        out_c: list[int] = []
+        for items in (unis, bis):
+            if items:
+                u, c = np.unique(np.asarray(items, dtype=object),
+                                 return_counts=True)
+                out_k.extend(u.tolist())
+                out_c.extend(c.astype(np.int64).tolist())
+        return pa.table({"k": pa.array(out_k, pa.string()),
+                         "c": pa.array(out_c, pa.int64())})
+
+    # unigram/bigram keys share one groupby (bigrams carry a NUL separator
+    # the tokenizer can never emit, recovered below)
+    totals = (
+        ds.map_batches(_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("k")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    parts = list(totals.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if parts:
+        tbl = pa.concat_tables(parts)
+        keys = np.asarray(tbl.column("k").to_pylist(), dtype=object)
+        cs = tbl.column("c").to_numpy(zero_copy_only=False)
+        is_bi = np.asarray(["\x00" in k for k in keys])
+        uni_k, uni_c = keys[~is_bi], cs[~is_bi]
+        bi_k, bi_c = keys[is_bi], cs[is_bi]
+        ou = np.argsort(uni_k)
+        ob = np.argsort(bi_k)
+        model = (uni_k[ou], uni_c[ou].astype(np.int64),
+                 bi_k[ob], bi_c[ob].astype(np.int64), int(len(uni_k)))
+    else:
+        model = (np.asarray([], dtype=object), np.zeros(0, np.int64),
+                 np.asarray([], dtype=object), np.zeros(0, np.int64), 0)
+    mref = ray.put(model)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        uk, uc, bk, bc_, v = ray.get(mref)
+        ids = batch.column("doc_id")
+        n_out = np.zeros(batch.num_rows, np.int64)
+        s_out = np.zeros(batch.num_rows, np.int64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = pat.findall((t or "").lower())
+            if len(toks) < 2:
+                continue
+            w1 = np.asarray(toks[:-1], dtype=object)
+            pairs = np.asarray(
+                [f"{a}\x00{b}" for a, b in zip(toks, toks[1:])], dtype=object
+            )
+            c12 = bc_[np.searchsorted(bk, pairs)]  # every pair is in-model
+            c1 = uc[np.searchsorted(uk, w1)]
+            # exact ppm: 1e6·(c12+1) is an exact float64 int; one correctly-
+            # rounded IEEE division + floor — identical on any IEEE engine
+            p_ppm = np.floor(1e6 * (c12 + 1).astype(np.float64)
+                             / (c1 + v).astype(np.float64)).astype(np.int64)
+            n_out[i] = len(pairs)
+            s_out[i] = int(p_ppm.sum())
+        return pa.table({"doc_id": ids,
+                         "n_bigrams": pa.array(n_out, pa.int64()),
+                         "sum_p_ppm": pa.array(s_out, pa.int64())})
+
+    return ds.map_batches(_score, batch_format="pyarrow", batch_size=None)
+
+
 _EMAIL_RE_SRC = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 
 
