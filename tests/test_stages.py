@@ -1393,3 +1393,40 @@ class TestJpegDecoder:
         got = decode_image(_encode_jpeg(img, quality=90))
         assert got.shape == (16, 16)
         assert np.abs(got - 128.0).max() <= 3
+
+
+class TestCodecFuzz:
+    def test_malformed_payloads_raise_cleanly(self):
+        """The quarantine contract: any malformed payload must raise (the
+        media stage converts that to decode_ok=False) — never hang, crash
+        the process, or return a bogus array. Seeded fuzz over truncations
+        and byte corruptions of VALID payloads for every native codec, plus
+        random bytes behind each magic prefix."""
+        from dedupe_ray.stages.multimodal import decode_image
+
+        rng = np.random.RandomState(123)
+        pal = rng.randint(0, 256, (8, 3), dtype=np.uint8)
+        idx = rng.randint(0, 8, (12, 9), dtype=np.uint8)
+        gif = TestGifDecoder._encode(idx, pal)
+        png = TestPngDecoder._encode(rng.randint(0, 256, (9, 7, 3),
+                                                 dtype=np.uint8), 2)
+        jpg = _encode_jpeg(rng.randint(0, 256, (16, 16), dtype=np.uint8))
+        pnm = b"P5\n9 7\n255\n" + rng.randint(0, 256, 63, dtype=np.uint8).tobytes()
+        for valid in (gif, png, jpg, pnm):
+            decode_image(valid)  # sanity: the uncorrupted payload decodes
+            for _ in range(60):
+                buf = bytearray(valid)
+                mode = rng.randint(3)
+                if mode == 0:  # truncate
+                    buf = buf[: rng.randint(1, len(buf))]
+                elif mode == 1:  # corrupt random bytes (keep magic intact)
+                    for _ in range(rng.randint(1, 8)):
+                        buf[rng.randint(8, len(buf))] = rng.randint(256)
+                else:  # random tail behind the real magic
+                    buf = buf[:10] + bytes(rng.randint(0, 256, 64, dtype=np.uint8))
+                try:
+                    out = decode_image(bytes(buf))
+                    # a surviving decode must still be a sane image array
+                    assert out.ndim == 2 and out.size > 0
+                except Exception:
+                    pass  # clean raise -> quarantined
