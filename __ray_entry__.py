@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-bigram-LM document scoring (CCNet quality-stage shape;
         # exact-ppm fixed point, local-oracled)
         "lm_score_docs": Q.lm_score_docs,
+        # codec-closure e2e: all five native formats through the real
+        # decode stage (local-oracled decode_ok/fmt cycle)
+        "media_features_codecs": Q.media_features_codecs,
     }
 
 
@@ -1119,5 +1122,13 @@ def local_oracle_sql() -> dict[str, str]:
             "CAST(coalesce(sum(s.p_ppm), 0) AS BIGINT) AS sum_p_ppm "
             "FROM tok LEFT JOIN scored s ON s.doc_id = tok.doc_id "
             "GROUP BY tok.doc_id"
+        ),
+        "media_features_codecs": (
+            # every synthesized payload must decode (decode_ok TRUE) and
+            # carry the deterministic id→format cycle
+            "SELECT doc_id AS media_id, "
+            "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'pnm' WHEN 1 THEN 'bmp' "
+            "WHEN 2 THEN 'png' WHEN 3 THEN 'gif' ELSE 'jpeg' END AS fmt, "
+            "TRUE AS decode_ok FROM documents"
         ),
     }

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dedup_spans_docs",            # r5: ExactSubstr duplicate-span removal (Lee et al.)
     "semdedup_embeddings",         # r5: SemDeDup k-means + within-cluster cosine prune
     "lm_score_docs",               # r5: corpus-bigram-LM scoring (CCNet quality shape)
+    "media_features_codecs",       # r5: all five native codecs through the real decode stage
 ]
 HEADLINE = "neardup_pages_bench"
 

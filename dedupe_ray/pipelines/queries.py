@@ -721,6 +721,42 @@ def media_features(sf_dir: str):
     return out.select_columns(["media_id", "decode_ok"]).sort("media_id")
 
 
+def media_features_codecs(sf_dir: str):
+    """Codec-closure end-to-end: one REAL decodable payload per document,
+    cycling through all five natively-supported formats
+    (PNM/BMP/PNG/GIF/baseline-JPEG — fixtures/media.py encoders +
+    functions/jpeg.py), decoded and dhashed by the real media stage through
+    Ray. Proves the PIL-free registry at the PIPELINE level, not just the
+    codec unit tests. Output (media_id, fmt, decode_ok) is SQL-oracled:
+    decode_ok must be TRUE for every row and fmt must match the id cycle —
+    a deliberately weak oracle (the pixel math is pinned by the codec
+    round-trip and golden-dhash tests)."""
+    from dedupe_ray.fixtures.media import synth_payload
+    from dedupe_ray.stages.multimodal import media_feature_fn
+
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+    fmts_cycle = ("pnm", "bmp", "png", "gif", "jpeg")
+
+    def _as_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        fmts = [fmts_cycle[int(i) % 5] for i in ids]
+        payloads = [synth_payload(int(i), f) for i, f in zip(ids, fmts)]
+        n = len(ids)
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "fmt": pa.array(fmts, pa.string()),
+             "media_type": pa.array(["image"] * n, pa.string()),
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def _feat(batch: pa.Table) -> pa.Table:
+        return media_feature_fn(batch, mode="real", algo="dhash")
+
+    out = ds.map_batches(_as_media, batch_format="pyarrow", batch_size=None) \
+        .map_batches(_feat, batch_format="pyarrow", batch_size=None)
+    return out.select_columns(["media_id", "fmt", "decode_ok"]).sort("media_id")
+
+
 def media_features_dct(sf_dir: str):
     """DCT perceptual-hash media path (the reference's higher-quality algo
     slot, /root/reference/hash/hash.go:81-155): synthesize REAL decodable
