@@ -1080,3 +1080,34 @@ def test_semdedup_drops_planted_copies(entrymod, ray_session):
     assert dropped[same_cluster].all(), "every same-cluster copy drops"
     assert dropped.mean() >= 0.9, f"recall {dropped.mean():.2f} < 0.9"
     assert same_cluster.mean() >= 0.9
+
+
+def test_dedup_spans_planted_semantics(entrymod, ray_session, tmp_path):
+    """Hand-computable ExactSubstr semantics: an 8-token boilerplate window
+    shared by two docs is removed from BOTH (span-union covers overlapping
+    hits); a doc with no repeated window is untouched; exact duplicate docs
+    blank entirely; short docs (<8 tokens) pass through."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedupe_ray.pipelines import queries as Q
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = pa.table(
+        {"doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+         "text": pa.array([
+             f"u1 u2 {boiler} u3 u4",         # boilerplate mid-doc
+             f"{boiler} v1 v2 v3 v4 v5",      # boilerplate at start
+             "w1 w2 w3 w4 w5 w6 w7 w8 w9",    # unique -> untouched
+             "d1 d2 d3 d4 d5 d6 d7 d8 d9",    # exact dup pair ->
+             "d1 d2 d3 d4 d5 d6 d7 d8 d9",    #   both blank fully
+             "s1 s2 s3",                      # <8 tokens -> untouched
+         ], pa.string())}
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = _to_pandas(Q.dedup_spans_docs(str(tmp_path))).set_index("doc_id")
+    assert out.loc[0, "text"] == "u1 u2 u3 u4"
+    assert out.loc[1, "text"] == "v1 v2 v3 v4 v5"
+    assert out.loc[2, "text"] == "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    assert out.loc[3, "text"] == "" and out.loc[4, "text"] == ""
+    assert out.loc[5, "text"] == "s1 s2 s3"
