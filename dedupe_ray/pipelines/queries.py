@@ -1088,8 +1088,8 @@ def dedup_spans_docs(sf_dir: str, w: int = 8, min_count: int = 2):
 
     Two phases: (1) distributed window counts — per-batch partial counts,
     shuffled on ``hash64(window)`` through ONE ``sorted_group_apply`` sort
-    (Ray's generic string groupby costs >10 s at 10⁶ distinct keys —
-    CLAUDE.md composite-agg rule; the hash key sorts as fixed uint64 and the
+    (Ray 2.49's generic aggregate costs >10 s at 10⁶ distinct string keys —
+    per-key reduce overhead; the hash key sorts as fixed uint64 and the
     literal string rides along, grouped EXACTLY within each hash group, so a
     64-bit collision cannot merge two windows), threshold, and only the
     repeated-window vocabulary (boilerplate) reaches the driver, broadcast
