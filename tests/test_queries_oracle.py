@@ -1111,3 +1111,63 @@ def test_dedup_spans_planted_semantics(entrymod, ray_session, tmp_path):
     assert out.loc[2, "text"] == "w1 w2 w3 w4 w5 w6 w7 w8 w9"
     assert out.loc[3, "text"] == "" and out.loc[4, "text"] == ""
     assert out.loc[5, "text"] == "s1 s2 s3"
+
+
+def test_dedup_spans_and_lm_score_match_naive_reference(entrymod, ray_session, tmp_path):
+    """Randomized cross-check against straight-line Python references: a
+    small-vocabulary random corpus (forced window repeats) must reproduce
+    the naive ExactSubstr rewrite and the naive smoothed-bigram ppm scores
+    exactly — independent of the SQL oracles and of block structure."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedupe_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(42)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab -> repeats guaranteed
+    texts = [" ".join(rng.choice(vocab, size=int(n)))
+             for n in rng.integers(0, 40, size=120)]
+    texts[5] = texts[6] = " ".join(rng.choice(vocab, size=20))  # long dup pair
+    docs = pa.table({"doc_id": pa.array(np.arange(120), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    pat = re.compile("[a-z0-9]+")
+    toks = [pat.findall(t.lower()) for t in texts]
+
+    # --- naive ExactSubstr (w=8, min_count=2) ---
+    w = 8
+    wc = Counter()
+    for tk in toks:
+        for i in range(len(tk) - w + 1):
+            wc[" ".join(tk[i:i + w])] += 1
+    rep = {k for k, v in wc.items() if v >= 2}
+    want_spans = []
+    for tk in toks:
+        cov = [False] * len(tk)
+        for i in range(len(tk) - w + 1):
+            if " ".join(tk[i:i + w]) in rep:
+                for j in range(i, i + w):
+                    cov[j] = True
+        want_spans.append(" ".join(t for t, c in zip(tk, cov) if not c))
+    got = _to_pandas(Q.dedup_spans_docs(str(tmp_path))).set_index("doc_id")
+    assert [got.loc[i, "text"] for i in range(120)] == want_spans
+    assert got.loc[5, "text"] == "" == got.loc[6, "text"]  # ≥8-token dups blank
+
+    # --- naive smoothed-bigram ppm ---
+    uni = Counter(t for tk in toks for t in tk)
+    bi = Counter((a, b) for tk in toks for a, b in zip(tk, tk[1:]))
+    v = len(uni)
+    import math
+    want_n, want_s = [], []
+    for tk in toks:
+        ps = [math.floor(1e6 * (bi[(a, b)] + 1) / (uni[a] + v))
+              for a, b in zip(tk, tk[1:])]
+        want_n.append(len(ps))
+        want_s.append(sum(ps))
+    lm = _to_pandas(Q.lm_score_docs(str(tmp_path))).set_index("doc_id")
+    assert [int(lm.loc[i, "n_bigrams"]) for i in range(120)] == want_n
+    assert [int(lm.loc[i, "sum_p_ppm"]) for i in range(120)] == want_s
