@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_docs_minhash_audit": Q.neardup_docs_minhash_audit,
         # --- rows-only (not SQL-expressible) -------------------------------
         "neardup_pages_minhash": Q.neardup_pages_minhash,
+        # the north-star metric as a query: flagship F1 vs planted labels
+        "flagship_f1": Q.flagship_f1,
         "neardup_pages_minhash_oph": Q.neardup_pages_minhash_oph,
         "neardup_pages_bench": Q.neardup_pages_bench,
         "neardup_docs_simhash": Q.neardup_docs_simhash,

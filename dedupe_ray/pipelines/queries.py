@@ -605,6 +605,39 @@ def neardup_pages_bench(sf_dir: str):
     return neardup_pages_minhash(sf_dir, copies=copies)
 
 
+def flagship_f1(sf_dir: str, n_pages: int = 2000, seed: int = 77):
+    """The NORTH-STAR metric as a first-class query: generate the
+    deterministic labeled fixture (planted duplicate clusters + hard
+    negatives), run the full flagship, and report pairwise
+    precision/recall/F1 against the labeled pairs — one row of exact
+    integers (counts + metrics in parts-per-million). ``sf_dir`` is unused
+    (the metric is defined by the labeled fixture, not the SF tables); the
+    parameter keeps the uniform queries() signature. No SQL oracle (the
+    fixture + pipeline are not SQL-expressible); the ≥0.99 gate is pinned
+    by ``tests/test_pipeline.py`` and the 5k/20k measurements in
+    BASELINE.md (F1 0.99957 / 0.99990)."""
+    from dedupe_ray.eval import pairwise_f1
+    from dedupe_ray.fixtures.pages import generate_pages
+    from dedupe_ray.pipelines.neardup import near_duplicates
+
+    fx = generate_pages(n_pages=n_pages, seed=seed)
+    out = near_duplicates(ray.data.from_arrow(fx.pages), NearDupConfig(algo="minhash"))
+    tbl = pa.concat_tables(
+        list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    ).select(["url", "cluster_id"])
+    m = pairwise_f1(tbl, fx.labeled_pairs)
+    ppm = lambda x: int(np.floor(1e6 * x + 0.5))  # noqa: E731
+    return pa.table(
+        {"n_pages": pa.array([n_pages], pa.int64()),
+         "tp": pa.array([m["tp"]], pa.int64()),
+         "fp": pa.array([m["fp"]], pa.int64()),
+         "fn": pa.array([m["fn"]], pa.int64()),
+         "precision_ppm": pa.array([ppm(m["precision"])], pa.int64()),
+         "recall_ppm": pa.array([ppm(m["recall"])], pa.int64()),
+         "f1_ppm": pa.array([ppm(m["f1"])], pa.int64())}
+    )
+
+
 def neardup_docs_simhash(sf_dir: str):
     """SimHash near-dup clusters directly over the documents table."""
     from dedupe_ray.pipelines.neardup import near_duplicates

@@ -1171,3 +1171,12 @@ def test_dedup_spans_and_lm_score_match_naive_reference(entrymod, ray_session, t
     lm = _to_pandas(Q.lm_score_docs(str(tmp_path))).set_index("doc_id")
     assert [int(lm.loc[i, "n_bigrams"]) for i in range(120)] == want_n
     assert [int(lm.loc[i, "sum_p_ppm"]) for i in range(120)] == want_s
+
+
+def test_flagship_f1_query_meets_north_star(entrymod):
+    """The north-star gate surfaced as a query: one row, F1 ≥ 0.99 (ppm)."""
+    df = _to_pandas(entrymod.queries()["flagship_f1"](SF_DIR))
+    assert len(df) == 1
+    assert int(df.f1_ppm[0]) >= 990_000, df
+    assert int(df.precision_ppm[0]) >= 990_000
+    assert int(df.recall_ppm[0]) >= 990_000
