@@ -960,7 +960,9 @@ def test_all_queries_total_on_empty_corpus(entrymod, ray_session, tmp_path):
     # (SQL count() over empty = one 0-row; ROLLUP keeps the grand total;
     # validate_docs reports every rule at 0)
     scalar_rows = {"distinct_users_exact": 1, "distinct_users_hll": 1,
-                   "lineitem_rollup": 1, "validate_docs": 5}
+                   "lineitem_rollup": 1, "validate_docs": 5,
+                   # fixture-driven: ignores the corpus, always one row
+                   "flagship_f1": 1}
     failures = []
     for name, fn in entrymod.queries().items():
         try:
